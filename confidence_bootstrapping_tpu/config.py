@@ -1,0 +1,169 @@
+"""Typed configuration dataclasses (replaces the reference's four argparse
+sites + model_parameters.yml overlay, SURVEY.md Lcfg layer).
+
+One schema is shared by train / inference / finetune; every trained model
+directory persists its ``model_config.yml`` which consumers reload
+(reference pattern: ``utils/parsing.py``, ``train.py:158-167``,
+``workdir/*/model_parameters.yml``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import yaml
+
+from .ops.schedules import SigmaParams
+
+
+@dataclass(frozen=True)
+class ScoreModelConfig:
+    """Architecture knobs of the tensor-product score/confidence model.
+
+    Defaults reproduce the pretrained score model's manifest
+    (reference ``workdir/pretrained_score/model_parameters.yml``).
+    """
+
+    ns: int = 32
+    nv: int = 6
+    sh_lmax: int = 1
+    num_conv_layers: int = 5
+    num_prot_emb_layers: int = 3
+    embed_also_ligand: bool = True
+    use_second_order_repr: bool = False
+    reduce_pseudoscalars: bool = True
+    batch_norm: bool = True
+    dropout: float = 0.1
+    in_lig_edge_features: int = 4
+    sigma_embed_dim: int = 32
+    distance_embed_dim: int = 32
+    cross_distance_embed_dim: int = 32
+    lig_max_radius: float = 5.0
+    rec_max_radius: float = 15.0
+    cross_max_distance: float = 80.0
+    center_max_distance: float = 30.0
+    dynamic_max_cross: bool = True
+    lm_embedding_dim: int = 1280  # 0 disables ESM features
+    embedding_type: str = "sinusoidal"
+    embedding_scale: int = 1000
+    scale_by_sigma: bool = True
+    no_torsion: bool = False
+    smooth_edges: bool = False
+    odd_parity: bool = False
+    differentiate_convolutions: bool = True
+    tp_weights_layers: int = 2
+    fixed_center_conv: bool = True
+    depthwise_convolution: bool = False
+
+    # confidence-mode heads (reference score_model.py:206-233)
+    confidence_mode: bool = False
+    num_confidence_outputs: int = 1
+    atom_confidence: bool = False
+    atom_num_confidence_outputs: int = 1
+    confidence_dropout: float = 0.0
+    confidence_no_batchnorm: bool = False
+
+    # all-atom variant (reference models/all_atom_score_model.py)
+    all_atoms: bool = False
+    atom_radius: float = 5.0
+    atom_max_neighbors: int = 8
+
+    # receptor graph hygiene
+    c_alpha_max_neighbors: int = 24
+    crop_beyond: Optional[float] = None
+
+    sigma: SigmaParams = field(default_factory=SigmaParams)
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Reverse-diffusion sampling knobs (reference utils/sampling.py:59)."""
+
+    inference_steps: int = 20
+    sigma_schedule: str = "expbeta"
+    inf_sched_alpha: float = 1.0
+    inf_sched_beta: float = 1.0
+    no_random: bool = False
+    no_final_step_noise: bool = False
+    ode: bool = False
+    # low-temperature sampling (reference sampling.py:154-167)
+    temp_sampling: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    temp_psi: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    temp_sigma_data: float = 0.5
+    # initialization (reference sampling.py:15-48)
+    pocket_knowledge: bool = False
+    pocket_cutoff: float = 7.0
+    initial_noise_std_proportion: float = 1.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop knobs (reference utils/parsing.py, train.py)."""
+
+    lr: float = 1e-3
+    w_decay: float = 0.0
+    batch_size: int = 16
+    n_epochs: int = 1000
+    scheduler: str = "plateau"
+    scheduler_patience: int = 30
+    ema_rate: float = 0.999
+    use_ema: bool = True
+    tr_weight: float = 0.33
+    rot_weight: float = 0.33
+    tor_weight: float = 0.33
+    confidence_weight: float = 0.33
+    # forward-diffusion time sampling t ~ Beta(alpha, beta)
+    sampling_alpha: float = 2.0
+    sampling_beta: float = 1.0
+    grad_clip: Optional[float] = None
+    # CB-specific time floor / mixing (reference pdbbind.py:69-78)
+    minimum_t: float = 0.0
+    sampling_mixing_coeff: float = 0.0
+    val_inference_freq: int = 5
+    num_inference_complexes: int = 500
+    inference_earlystop_metric: str = "valinf_rmsds_lt2"
+    inference_earlystop_goal: str = "max"
+
+
+def to_dict(cfg) -> dict:
+    d = dataclasses.asdict(cfg)
+
+    def clean(v):
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items()}
+        if isinstance(v, tuple):
+            return list(v)
+        return v
+
+    return clean(d)
+
+
+def save_yaml(cfg, path: str):
+    with open(path, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=True)
+
+
+def _from_dict(cls, d: dict):
+    names = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in names:
+            continue  # forward/backward compatibility: ignore unknown keys
+        if k == "sigma" and isinstance(v, dict):
+            v = SigmaParams(**v)
+        f = names[k]
+        if f.type == "Tuple[float, float, float]" and isinstance(v, list):
+            v = tuple(v)
+        kwargs[k] = v
+    return cls(**kwargs)
+
+
+def load_yaml(cls, path: str):
+    with open(path) as f:
+        return _from_dict(cls, yaml.safe_load(f))
+
+
+def load_score_config(path: str) -> ScoreModelConfig:
+    return load_yaml(ScoreModelConfig, path)

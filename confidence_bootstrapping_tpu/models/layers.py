@@ -1,0 +1,210 @@
+"""Building blocks for the equivariant models.
+
+Re-designs of the reference's ``models/layers.py`` (FCBlock),
+``models/score_model.py:18-41`` (AtomEncoder), ``models/score_model.py:667``
+(GaussianSmearing), and e3nn's irreps BatchNorm as used by
+``models/tensor_layers.py:193``. All modules operate on arbitrarily-shaped
+leading axes and support padded-node masking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.irreps import Irreps, WeightedTensorProduct
+
+
+class FCBlock(nn.Module):
+    """n-layer MLP: Linear (ReLU Dropout Linear)*(depth-1)."""
+
+    hidden_dim: int
+    out_dim: int
+    depth: int = 2
+    dropout: float = 0.0
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        act = nn.relu if self.activation == "relu" else nn.silu
+        h = nn.Dense(self.hidden_dim if self.depth > 1 else self.out_dim)(x)
+        for i in range(self.depth - 1):
+            h = act(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.Dense(self.out_dim if i == self.depth - 2 else self.hidden_dim)(h)
+        return h
+
+
+class AtomEncoder(nn.Module):
+    """Sum of categorical embeddings + linear fold-in of scalar features.
+
+    feature_dims: vocabulary sizes of the categorical features (the trailing
+    feature columns beyond them are treated as scalars: sigma embedding and/or
+    language-model embedding, like reference AtomEncoder).
+    """
+
+    emb_dim: int
+    feature_dims: Tuple[int, ...]
+    n_scalar: int = 0  # sigma_embed_dim + lm_embedding_dim
+
+    @nn.compact
+    def __call__(self, x_cat, x_scalar=None):
+        emb = 0.0
+        for i, vocab in enumerate(self.feature_dims):
+            table = nn.Embed(vocab, self.emb_dim, embedding_init=nn.initializers.xavier_uniform())
+            emb = emb + table(jnp.clip(x_cat[..., i], 0, vocab - 1))
+        if self.n_scalar > 0:
+            emb = nn.Dense(self.emb_dim)(jnp.concatenate([emb, x_scalar], axis=-1))
+        return emb
+
+
+class GaussianSmearing(nn.Module):
+    """Distance -> Gaussian RBF features on a linear grid."""
+
+    start: float = 0.0
+    stop: float = 5.0
+    num_gaussians: int = 50
+
+    @nn.compact
+    def __call__(self, dist):
+        offset = jnp.linspace(self.start, self.stop, self.num_gaussians)
+        coeff = -0.5 / float((self.stop - self.start) / (self.num_gaussians - 1)) ** 2
+        d = dist[..., None] - offset
+        return jnp.exp(coeff * d**2)
+
+
+class BatchNormIrreps(nn.Module):
+    """Masked batch norm over irreps features (e3nn BatchNorm semantics).
+
+    Scalars (l=0): standard batch norm (mean/var) with affine weight+bias.
+    l>0 blocks: divide by the rms norm of the fields (no mean subtraction),
+    affine weight only. Statistics are masked means over all valid nodes of
+    the batch; running averages are kept in the 'batch_stats' collection.
+    """
+
+    irreps: str
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average: bool = True):
+        irreps = Irreps(self.irreps)
+        if mask is None:
+            mask = jnp.ones(x.shape[:-1], dtype=bool)
+        m = mask.astype(x.dtype)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+
+        n_scalar = sum(mul for mul, ir in irreps if ir.l == 0)
+        n_field = sum(mul for mul, ir in irreps if ir.l > 0)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((n_scalar,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((n_scalar,)))
+        ra_norm = self.variable("batch_stats", "norm", lambda: jnp.ones((n_field,)))
+
+        weight = self.param("weight", nn.initializers.ones, (irreps.num_irreps,))
+        bias = self.param("bias", nn.initializers.zeros, (n_scalar,))
+
+        out = []
+        i_s = i_f = i_w = 0
+        new_means, new_vars, new_norms = [], [], []
+        for (mul, ir), sl in zip(irreps, irreps.slices()):
+            blk = x[..., sl]
+            w = weight[i_w : i_w + mul]
+            i_w += mul
+            if ir.l == 0:
+                mean_b = jnp.sum(blk * m[..., None], axis=tuple(range(blk.ndim - 1))) / denom
+                var_b = jnp.sum((blk - mean_b) ** 2 * m[..., None], axis=tuple(range(blk.ndim - 1))) / denom
+                if use_running_average:
+                    mean = ra_mean.value[i_s : i_s + mul]
+                    var = ra_var.value[i_s : i_s + mul]
+                else:
+                    mean, var = mean_b, var_b
+                new_means.append(mean_b)
+                new_vars.append(var_b)
+                b = bias[i_s : i_s + mul]
+                i_s += mul
+                out.append(((blk - mean) / jnp.sqrt(var + self.epsilon)) * w + b)
+            else:
+                f = blk.reshape(blk.shape[:-1] + (mul, ir.dim))
+                norm2 = jnp.mean(f**2, axis=-1)  # [..., mul]
+                norm_b = jnp.sum(norm2 * m[..., None], axis=tuple(range(norm2.ndim - 1))) / denom
+                if use_running_average:
+                    norm = ra_norm.value[i_f : i_f + mul]
+                else:
+                    norm = norm_b
+                new_norms.append(norm_b)
+                i_f += mul
+                fn = f / jnp.sqrt(norm + self.epsilon)[..., :, None] * w[..., :, None]
+                out.append(fn.reshape(blk.shape))
+
+        if not use_running_average and not self.is_initializing():
+            mom = self.momentum
+            if n_scalar:
+                ra_mean.value = (1 - mom) * ra_mean.value + mom * jnp.concatenate(new_means)
+                ra_var.value = (1 - mom) * ra_var.value + mom * jnp.concatenate(new_vars)
+            if n_field:
+                ra_norm.value = (1 - mom) * ra_norm.value + mom * jnp.concatenate(new_norms)
+        return jnp.concatenate(out, axis=-1)
+
+
+def pad_residual(x, out_dim):
+    """Residual connection with zero-padding to the wider irreps (reference
+    tensor_layers.py:214-216; valid because the irreps ladder only appends)."""
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, out_dim - x.shape[-1])])
+
+
+class TPConv(nn.Module):
+    """Tensor-product convolution: edge MLP -> TP weights -> messages.
+
+    The reference's TensorProductConvLayer (models/tensor_layers.py:120-217)
+    split into (a) per-edge-group message computation (this module) and
+    (b) caller-side masked mean aggregation + BN + residual, because on TPU
+    the edge groups live in different fixed-shape containers (dense ligand
+    pairs, receptor kNN lists, capped cross lists).
+    """
+
+    in_irreps: str
+    sh_irreps: str
+    out_irreps: str
+    n_edge_features: int
+    num_groups: int = 1
+    hidden_features: Optional[int] = None
+    dropout: float = 0.0
+    batch_norm: bool = True
+    residual: bool = True
+    tp_weights_layers: int = 2
+
+    def setup(self):
+        self.tp = WeightedTensorProduct(self.in_irreps, self.sh_irreps, self.out_irreps)
+        hidden = self.hidden_features or self.n_edge_features
+        self.edge_mlps = [
+            FCBlock(hidden, self.tp.weight_numel, depth=self.tp_weights_layers, dropout=self.dropout)
+            for _ in range(self.num_groups)
+        ]
+        if self.batch_norm:
+            self.bn = BatchNormIrreps(self.out_irreps)
+        self.out_dim = Irreps(self.out_irreps).dim
+
+    def messages(self, group, sender_attr, edge_sh, edge_attr, edge_mask, edge_weight=None, deterministic=True):
+        """Per-edge messages for one edge group; masked entries are zero.
+
+        sender_attr/edge_sh/edge_attr share leading shape [...]; returns
+        [..., out_dim].
+        """
+        w = self.edge_mlps[group](edge_attr, deterministic=deterministic)
+        if edge_weight is not None:
+            w = w * edge_weight[..., None]
+        msg = self.tp(sender_attr, edge_sh, w)
+        return jnp.where(edge_mask[..., None], msg, 0.0)
+
+    def finalize(self, x_in, msg_sum, msg_count, node_mask, use_running_average=True):
+        """mean-aggregate, batch norm, residual."""
+        out = msg_sum / jnp.maximum(msg_count, 1.0)[..., None]
+        if self.batch_norm:
+            out = self.bn(out, node_mask, use_running_average=use_running_average)
+            out = jnp.where(node_mask[..., None], out, 0.0)
+        if self.residual:
+            out = out + pad_residual(x_in, self.out_dim)
+        return out

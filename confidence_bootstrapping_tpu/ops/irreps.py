@@ -322,7 +322,11 @@ class WeightedTensorProduct:
         self.weight_numel = sum(g.w_shape[0] * g.w_shape[1] for g in self.groups)
 
     def __call__(self, x, sh, weight):
-        """x: [..., dim_in], sh: [..., dim_sh], weight: [..., weight_numel]."""
+        """x: [..., dim_in], sh: [..., dim_sh], weight: [..., weight_numel].
+
+        Leading axes broadcast (e.g. x [B, 1, L, d] against sh [B, L, L, d']).
+        """
+        lead = jnp.broadcast_shapes(x.shape[:-1], sh.shape[:-1], weight.shape[:-1])
         in_slices = self.irreps_in.slices()
         sh_slices = self.irreps_sh.slices()
         in_blocks = {}
@@ -353,9 +357,9 @@ class WeightedTensorProduct:
         outs = []
         for oi, (mul_out, ir_out) in enumerate(self.irreps_out):
             if oi in out_blocks:
-                outs.append(out_blocks[oi])
+                outs.append(jnp.broadcast_to(out_blocks[oi], lead + out_blocks[oi].shape[-1:]))
             else:
-                outs.append(jnp.zeros(x.shape[:-1] + (mul_out * ir_out.dim,), dtype=x.dtype))
+                outs.append(jnp.zeros(lead + (mul_out * ir_out.dim,), dtype=x.dtype))
         return jnp.concatenate(outs, axis=-1)
 
 
