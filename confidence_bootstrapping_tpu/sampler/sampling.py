@@ -1,0 +1,224 @@
+"""Reverse diffusion sampling on T(3) x SO(3) x T^m.
+
+TPU-first re-design of the reference's ``utils/sampling.py``:
+
+  * ``randomize_position`` (reference lines 15-48) is a jittable function of
+    a PRNG key over the padded batch;
+  * the 20-step Euler-Maruyama / ODE loop (lines 59-233) is ONE ``lax.scan``
+    inside a single jit: per-step graph rebuilds, score-norm CPU syncs and
+    deepcopy-based cropping are gone — the sigma-dependent cross cutoff and
+    crop masks are recomputed on device (see models/score_model.py);
+  * the receptor embedding is computed once per complex and carried through
+    the scan (the reference caches it on the graph object);
+  * low-temperature sampling (lines 154-167) is always-on algebra that
+    reduces to the standard update at temp=1, psi=0;
+  * confidence scoring of final poses (lines 240-261) is a separate jitted
+    call with t=0.
+
+All randomness is explicit via JAX PRNG keys (documented deviation from the
+reference's mixed numpy/torch global RNG; distributional parity only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SamplerConfig, ScoreModelConfig
+from ..data.complex_graph import ComplexBatch
+from ..ops import so3
+from ..ops.geometry import quaternion_to_matrix
+from ..ops.poses import modify_conformer
+from ..ops.schedules import get_t_schedule, t_to_sigma
+from ..ops.torsion import apply_torsion_updates
+
+
+def uniform_rotation(key, shape=()):
+    """Uniform random rotation matrices via normalized quaternions."""
+    q = jax.random.normal(key, shape + (4,))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return quaternion_to_matrix(q)
+
+
+def randomize_position(
+    batch: ComplexBatch,
+    key,
+    tr_sigma_max: float,
+    no_torsion: bool = False,
+    no_random: bool = False,
+    pocket_knowledge: bool = False,
+    pocket_center: Optional[jnp.ndarray] = None,
+    initial_noise_std_proportion: float = 1.0,
+) -> ComplexBatch:
+    """Randomize ligand torsions, orientation and position (t=1 prior).
+
+    pocket_center: [B, 3] override of the receptor center (pocket-aware
+    initialization, reference sampling.py:18-27 computes it host-side from
+    the known pocket; pass it in here).
+    """
+    B, L, _ = batch.lig_pos.shape
+    k_tor, k_rot, k_tr = jax.random.split(key, 3)
+    pos = batch.lig_pos
+
+    if not no_torsion:
+        updates = jax.random.uniform(k_tor, batch.tor_src.shape, minval=-np.pi, maxval=np.pi)
+        pos = apply_torsion_updates(pos, batch.tor_src, batch.tor_dst, batch.mask_rotate, updates, batch.tor_mask)
+
+    m = batch.lig_mask.astype(pos.dtype)[..., None]
+    center = jnp.sum(pos * m, axis=1, keepdims=True) / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    rot = uniform_rotation(k_rot, (B,))
+    if pocket_center is None:
+        rm = batch.rec_mask.astype(pos.dtype)[..., None]
+        pocket_center = jnp.sum(batch.rec_pos * rm, axis=1) / jnp.maximum(jnp.sum(rm, axis=1), 1.0)
+    pos = jnp.einsum("bld,bed->ble", pos - center, rot, precision="highest") + pocket_center[:, None, :]
+
+    if not no_random:
+        tr = jax.random.normal(k_tr, (B, 3)) * tr_sigma_max * initial_noise_std_proportion
+        pos = pos + tr[:, None, :]
+    return batch.replace(lig_pos=pos)
+
+
+class Schedules(NamedTuple):
+    t_tr: jnp.ndarray  # [steps]
+    t_rot: jnp.ndarray
+    t_tor: jnp.ndarray
+    dt_tr: jnp.ndarray
+    dt_rot: jnp.ndarray
+    dt_tor: jnp.ndarray
+
+
+def make_schedules(cfg: SamplerConfig) -> Schedules:
+    t = get_t_schedule(cfg.inference_steps, cfg.sigma_schedule, cfg.inf_sched_alpha, cfg.inf_sched_beta)
+    t = jnp.asarray(t)
+    dt = t - jnp.concatenate([t[1:], jnp.zeros((1,))])
+    # last step: dt = t[-1] (reference sampling.py:95-97)
+    return Schedules(t, t, t, dt, dt, dt)
+
+
+def _g(sigma, smax, smin):
+    return sigma * jnp.sqrt(2 * jnp.log(smax / smin))
+
+
+def reverse_diffusion_step(
+    model,
+    variables,
+    batch: ComplexBatch,
+    rec_cache,
+    key,
+    step_idx,
+    sched: Schedules,
+    model_cfg: ScoreModelConfig,
+    cfg: SamplerConfig,
+):
+    """One Euler-Maruyama (or probability-flow ODE) step. Returns new batch."""
+    B = batch.batch_size
+    sp = model_cfg.sigma
+    t_tr, t_rot, t_tor = sched.t_tr[step_idx], sched.t_rot[step_idx], sched.t_tor[step_idx]
+    dt_tr, dt_rot, dt_tor = sched.dt_tr[step_idx], sched.dt_rot[step_idx], sched.dt_tor[step_idx]
+
+    b = batch.set_time(t_tr, t_rot, t_tor)
+    tr_sigma, rot_sigma, tor_sigma = t_to_sigma(t_tr, t_rot, t_tor, sp)
+
+    out = model.apply(variables, b, rec_cache=rec_cache)
+    tr_score, rot_score, tor_score = out.tr_pred, out.rot_pred, out.tor_pred
+
+    tr_g = _g(tr_sigma, sp.tr_sigma_max, sp.tr_sigma_min)
+    rot_g = _g(rot_sigma, sp.rot_sigma_max, sp.rot_sigma_min)
+    tor_g = _g(tor_sigma, sp.tor_sigma_max, sp.tor_sigma_min)
+
+    last = step_idx == cfg.inference_steps - 1
+    no_noise = cfg.no_random | (cfg.no_final_step_noise & last)
+    k_tr, k_rot, k_tor = jax.random.split(key, 3)
+    zscale = jnp.where(no_noise, 0.0, 1.0)
+    tr_z = jax.random.normal(k_tr, (B, 3)) * zscale
+    rot_z = jax.random.normal(k_rot, (B, 3)) * zscale
+    tor_z = jax.random.normal(k_tor, tor_score.shape) * zscale
+
+    if cfg.ode:
+        tr_perturb = 0.5 * tr_g**2 * dt_tr * tr_score
+        rot_perturb = 0.5 * rot_g**2 * dt_rot * rot_score
+        tor_perturb = 0.5 * tor_g**2 * dt_tor * tor_score
+    else:
+        # low-temperature sampling algebra; identity at temp=1, psi=0
+        # (reference sampling.py:126-167)
+        def lam(sd_max, sd_min, sigma, temp):
+            sigma_data = np.exp(cfg.temp_sigma_data * np.log(sd_max) + (1 - cfg.temp_sigma_data) * np.log(sd_min))
+            return (sigma_data + sigma) / (sigma_data + sigma / temp)
+
+        t0, t1, t2 = cfg.temp_sampling
+        p0, p1, p2 = cfg.temp_psi
+        lam_tr = lam(sp.tr_sigma_max, sp.tr_sigma_min, tr_sigma, t0)
+        lam_rot = lam(sp.rot_sigma_max, sp.rot_sigma_min, rot_sigma, t1)
+        lam_tor = lam(sp.tor_sigma_max, sp.tor_sigma_min, tor_sigma, t2)
+        tr_perturb = tr_g**2 * dt_tr * (lam_tr + t0 * p0 / 2) * tr_score + tr_g * jnp.sqrt(dt_tr * (1 + p0)) * tr_z
+        rot_perturb = rot_g**2 * dt_rot * (lam_rot + t1 * p1 / 2) * rot_score + rot_g * jnp.sqrt(dt_rot * (1 + p1)) * rot_z
+        tor_perturb = tor_g**2 * dt_tor * (lam_tor + t2 * p2 / 2) * tor_score + tor_g * jnp.sqrt(dt_tor * (1 + p2)) * tor_z
+
+    if model_cfg.no_torsion:
+        tor_perturb = None
+
+    new_pos = modify_conformer(
+        batch.lig_pos,
+        batch.lig_mask,
+        tr_perturb,
+        rot_perturb,
+        tor_perturb,
+        batch.tor_src,
+        batch.tor_dst,
+        batch.mask_rotate,
+        batch.tor_mask,
+    )
+    return batch.replace(lig_pos=new_pos)
+
+
+def sample(
+    model,
+    variables,
+    batch: ComplexBatch,
+    key,
+    model_cfg: ScoreModelConfig,
+    cfg: SamplerConfig,
+    return_trajectory: bool = False,
+):
+    """Run the full reverse diffusion as a lax.scan. Jit-compatible.
+
+    Returns the final batch (ligand positions updated), and the [steps, B,
+    L, 3] position trajectory if requested.
+    """
+    sched = make_schedules(cfg)
+    rec_cache = model.apply(variables, batch, method="embed_receptor")
+
+    def body(carry, inp):
+        b = carry
+        step_idx, k = inp
+        nb = reverse_diffusion_step(model, variables, b, rec_cache, k, step_idx, sched, model_cfg, cfg)
+        return nb, (nb.lig_pos if return_trajectory else None)
+
+    keys = jax.random.split(key, cfg.inference_steps)
+    steps = jnp.arange(cfg.inference_steps)
+    final, traj = jax.lax.scan(body, batch, (steps, keys))
+    return final, traj
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def sample_jit(model, variables, batch, key, model_cfg, cfg, return_trajectory=False):
+    return sample(model, variables, batch, key, model_cfg, cfg, return_trajectory)
+
+
+def score_confidence(conf_model, conf_variables, batch: ComplexBatch, lig_pos=None):
+    """Confidence-model scoring of (final) poses at t=0.
+
+    batch: the confidence model's graph view of the complexes (possibly
+    all-atom); lig_pos overrides ligand positions with sampled poses.
+    NaNs are mapped to -1000 like the reference (sampling.py:265).
+    """
+    if lig_pos is not None:
+        batch = batch.replace(lig_pos=lig_pos)
+    b = batch.set_time(0.0, 0.0, 0.0)
+    out = conf_model.apply(conf_variables, b)
+    conf = out.confidence
+    return jnp.nan_to_num(conf, nan=-1000.0)

@@ -1,0 +1,77 @@
+"""Reverse-diffusion sampler tests (small model, virtual CPU devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from confidence_bootstrapping_tpu.config import SamplerConfig
+from confidence_bootstrapping_tpu.models.score_model import TensorProductScoreModel
+from confidence_bootstrapping_tpu.sampler import sampling
+
+from test_score_model import SMALL_CFG, make_random_batch
+
+
+def _setup():
+    batch = make_random_batch(B=2)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return model, variables, batch
+
+
+def test_randomize_position_moves_to_receptor_center():
+    _, _, batch = _setup()
+    out = sampling.randomize_position(batch, jax.random.PRNGKey(1), tr_sigma_max=1e-6, no_random=True)
+    m = np.asarray(batch.rec_mask)[..., None]
+    rec_center = (np.asarray(batch.rec_pos) * m).sum(1) / m.sum(1)
+    lm = np.asarray(batch.lig_mask)[..., None]
+    lig_center = (np.asarray(out.lig_pos) * lm).sum(1) / lm.sum(1)
+    np.testing.assert_allclose(lig_center, rec_center, atol=1e-3)
+
+
+def test_randomize_preserves_bond_lengths():
+    _, _, batch = _setup()
+    out = sampling.randomize_position(batch, jax.random.PRNGKey(2), tr_sigma_max=19.0)
+    for b in (batch, out):
+        pos = np.asarray(b.lig_pos)
+        src, dst = np.asarray(b.lig_edge_src), np.asarray(b.lig_edge_dst)
+        mask = np.asarray(b.lig_edge_mask)
+        d = np.linalg.norm(
+            np.take_along_axis(pos, src[..., None], 1) - np.take_along_axis(pos, dst[..., None], 1), axis=-1
+        )
+        if b is batch:
+            want = d[mask]
+        else:
+            np.testing.assert_allclose(d[mask], want, atol=1e-3)
+
+
+def test_sampling_runs_and_is_deterministic():
+    model, variables, batch = _setup()
+    cfg = SamplerConfig(inference_steps=4)
+    batch0 = sampling.randomize_position(batch, jax.random.PRNGKey(3), tr_sigma_max=5.0)
+    final1, _ = sampling.sample(model, variables, batch0, jax.random.PRNGKey(4), SMALL_CFG, cfg)
+    final2, _ = sampling.sample(model, variables, batch0, jax.random.PRNGKey(4), SMALL_CFG, cfg)
+    assert np.isfinite(np.asarray(final1.lig_pos)).all()
+    np.testing.assert_allclose(np.asarray(final1.lig_pos), np.asarray(final2.lig_pos), atol=0)
+    # positions actually moved
+    assert np.abs(np.asarray(final1.lig_pos) - np.asarray(batch0.lig_pos)).max() > 1e-3
+
+
+def test_sampling_trajectory_and_ode():
+    model, variables, batch = _setup()
+    cfg = SamplerConfig(inference_steps=3, ode=True)
+    final, traj = sampling.sample(model, variables, batch, jax.random.PRNGKey(5), SMALL_CFG, cfg, return_trajectory=True)
+    assert traj.shape == (3,) + batch.lig_pos.shape
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(final.lig_pos), atol=0)
+    # ODE mode is noise-free: same result with different keys
+    final2, _ = sampling.sample(model, variables, batch, jax.random.PRNGKey(99), SMALL_CFG, cfg)
+    np.testing.assert_allclose(np.asarray(final.lig_pos), np.asarray(final2.lig_pos), atol=0)
+
+
+def test_temperature_identity():
+    """temp=1, psi=0 must equal the plain Euler-Maruyama update."""
+    model, variables, batch = _setup()
+    cfg1 = SamplerConfig(inference_steps=3)
+    cfg2 = SamplerConfig(inference_steps=3, temp_sampling=(1.0, 1.0, 1.0), temp_psi=(0.0, 0.0, 0.0))
+    f1, _ = sampling.sample(model, variables, batch, jax.random.PRNGKey(6), SMALL_CFG, cfg1)
+    f2, _ = sampling.sample(model, variables, batch, jax.random.PRNGKey(6), SMALL_CFG, cfg2)
+    np.testing.assert_allclose(np.asarray(f1.lig_pos), np.asarray(f2.lig_pos), atol=0)
