@@ -1,0 +1,81 @@
+"""Training-time forward diffusion (NoiseTransform) on device.
+
+Re-implements the reference's ``datasets/pdbbind.py:25-133`` NoiseTransform
+as a jittable function: t ~ Beta(alpha, beta) (with the CB ``minimum_t`` /
+``sampling_mixing_coeff`` variants, lines 69-78), per-manifold noise draws
+(tr ~ N(0, sigma_tr), rot ~ IGSO(3), torsions ~ wrapped normal), pose
+perturbation via the modify_conformer kernel, and closed-form score targets
+from the device-resident tables. The reference runs this per-sample in
+dataloader workers on CPU; here it runs inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrainConfig
+from ..data.complex_graph import ComplexBatch
+from ..ops import so3, torus
+from ..ops.poses import modify_conformer
+from ..ops.schedules import SigmaParams, t_to_sigma
+
+
+class ScoreTargets(NamedTuple):
+    tr_score: jnp.ndarray  # [B, 3]
+    rot_score: jnp.ndarray  # [B, 3]
+    tor_score: jnp.ndarray  # [B, R]
+    tor_sigma: jnp.ndarray  # [B] (per-graph; edges share the graph sigma)
+
+
+def sample_train_times(key, B, cfg: TrainConfig):
+    """t ~ Beta(alpha, beta), optionally floored at minimum_t or mixed below
+    it with probability sampling_mixing_coeff (reference pdbbind.py:55-78)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    t1 = jax.random.beta(k1, cfg.sampling_alpha, cfg.sampling_beta, (B,))
+    if cfg.sampling_mixing_coeff == 0.0:
+        return cfg.minimum_t + t1 * (1 - cfg.minimum_t)
+    t_low = jax.random.beta(k2, cfg.sampling_alpha, cfg.sampling_beta, (B,)) * cfg.minimum_t
+    t_high = cfg.minimum_t + t1 * (1 - cfg.minimum_t)
+    choice = jax.random.bernoulli(k3, cfg.sampling_mixing_coeff, (B,))
+    return jnp.where(choice, t_low, t_high)
+
+
+def apply_noise(batch: ComplexBatch, key, sigma: SigmaParams, cfg: TrainConfig, no_torsion=False):
+    """Forward-diffuse a clean batch; returns (noised batch, targets)."""
+    B, L, _ = batch.lig_pos.shape
+    R = batch.tor_src.shape[1]
+    k_t, k_tr, k_rot, k_tor = jax.random.split(key, 4)
+
+    t = sample_train_times(k_t, B, cfg)
+    batch = batch.set_time(t, t, t)
+    tr_sigma, rot_sigma, tor_sigma = t_to_sigma(t, t, t, sigma)
+
+    tr_update = jax.random.normal(k_tr, (B, 3)) * tr_sigma[:, None]
+    rot_update = so3.sample_vec(k_rot, rot_sigma)  # [B, 3]
+    tor_updates = jax.random.normal(k_tor, (B, R)) * tor_sigma[:, None]
+    tor_updates = jnp.where(batch.tor_mask, tor_updates, 0.0)
+
+    new_pos = modify_conformer(
+        batch.lig_pos,
+        batch.lig_mask,
+        tr_update,
+        rot_update,
+        None if no_torsion else tor_updates,
+        batch.tor_src,
+        batch.tor_dst,
+        batch.mask_rotate,
+        batch.tor_mask,
+    )
+
+    tr_score = -tr_update / (tr_sigma[:, None] ** 2)
+    rot_score = so3.score_vec(rot_sigma, rot_update)
+    # single-atom ligands have no rotational signal (reference pdbbind.py:126-128)
+    single = (jnp.sum(batch.lig_mask, axis=1) <= 1)[:, None]
+    rot_score = jnp.where(single, 0.0, rot_score)
+    tor_score = torus.score(tor_updates, tor_sigma[:, None])
+    tor_score = jnp.where(batch.tor_mask, tor_score, 0.0)
+
+    return batch.replace(lig_pos=new_pos), ScoreTargets(tr_score, rot_score, tor_score, tor_sigma)

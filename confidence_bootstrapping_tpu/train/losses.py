@@ -1,0 +1,85 @@
+"""Score-matching losses (reference utils/training.py:17-126).
+
+Per-manifold MSE with the reference's normalizations: translation weighted
+by sigma^2, rotation normalized by the IGSO(3) RMS score norm, torsion by
+the wrapped-normal E[score^2]; masked means over valid torsion slots. Also
+returns the 'base losses' (loss of the zero predictor) used for logging.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import so3, torus
+from ..ops.schedules import SigmaParams, t_to_sigma
+from .diffusion import ScoreTargets
+
+
+class LossBreakdown(NamedTuple):
+    loss: jnp.ndarray
+    tr_loss: jnp.ndarray
+    rot_loss: jnp.ndarray
+    tor_loss: jnp.ndarray
+    tr_base_loss: jnp.ndarray
+    rot_base_loss: jnp.ndarray
+    tor_base_loss: jnp.ndarray
+
+
+def score_matching_loss(
+    tr_pred,
+    rot_pred,
+    tor_pred,
+    targets: ScoreTargets,
+    batch,
+    sigma: SigmaParams,
+    tr_weight=1.0,
+    rot_weight=1.0,
+    tor_weight=1.0,
+    no_torsion=False,
+    apply_mean=True,
+) -> LossBreakdown:
+    tr_sigma, rot_sigma, tor_sigma = t_to_sigma(batch.t_tr, batch.t_rot, batch.t_tor, sigma)
+
+    mean_dims = None if apply_mean else (1,)
+
+    def _m(x):
+        return jnp.mean(x) if apply_mean else jnp.mean(x, axis=1)
+
+    tr_loss = _m((tr_pred - targets.tr_score) ** 2 * tr_sigma[:, None] ** 2)
+    tr_base = _m(targets.tr_score**2 * tr_sigma[:, None] ** 2)
+
+    rot_norm = so3.score_norm(rot_sigma)[:, None]
+    rot_loss = _m(((rot_pred - targets.rot_score) / rot_norm) ** 2)
+    rot_base = _m((targets.rot_score / rot_norm) ** 2)
+
+    if no_torsion:
+        z = jnp.zeros(()) if apply_mean else jnp.zeros(tr_loss.shape)
+        tor_loss = tor_base = z
+    else:
+        tor_norm2 = torus.score_norm(targets.tor_sigma)[:, None]  # [B, 1]
+        m = batch.tor_mask.astype(tr_pred.dtype)
+        per_edge = (tor_pred - targets.tor_score) ** 2 / tor_norm2 * m
+        per_edge_base = targets.tor_score**2 / tor_norm2 * m
+        if apply_mean:
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            tor_loss = jnp.sum(per_edge) / cnt
+            tor_base = jnp.sum(per_edge_base) / cnt
+        else:
+            cnt = jnp.sum(m, axis=1) + 1e-4
+            tor_loss = jnp.sum(per_edge, axis=1) / cnt
+            tor_base = jnp.sum(per_edge_base, axis=1) / cnt
+
+    loss = tr_loss * tr_weight + rot_loss * rot_weight + tor_loss * tor_weight
+    return LossBreakdown(loss, tr_loss, rot_loss, tor_loss, tr_base, rot_base, tor_base)
+
+
+def confidence_loss(confidence_pred, labels, rmsd_prediction=False):
+    """BCE pose-classification loss (or MSE on RMSD when rmsd_prediction),
+    reference confidence/confidence_train.py:208-280."""
+    if rmsd_prediction:
+        return jnp.mean((confidence_pred - labels) ** 2)
+    logp = jnp.logaddexp(0.0, -confidence_pred)  # -log sigmoid(x)
+    lognp = jnp.logaddexp(0.0, confidence_pred)  # -log (1 - sigmoid(x))
+    return jnp.mean(labels * logp + (1 - labels) * lognp)

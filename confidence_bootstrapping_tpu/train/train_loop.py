@@ -1,0 +1,191 @@
+"""Jitted training step, EMA, optimizer/scheduler factory, epoch loops.
+
+Re-designs the reference's ``utils/training.py:184-289`` (train/test epochs),
+``utils/utils.py:134-172`` (optimizer + plateau/warmup schedulers) and
+``utils/utils.py:310-392`` (ExponentialMovingAverage): the whole
+noise->forward->loss->grad->adam->EMA pipeline is ONE jitted function; the
+epoch loop is a thin host iterator over pre-padded batches. Data parallelism
+comes from sharding the batch leading axis over a mesh (parallel/mesh.py) —
+XLA inserts the gradient psums.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ScoreModelConfig, TrainConfig
+from ..data.complex_graph import ComplexBatch
+from .diffusion import apply_noise
+from .losses import score_matching_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray
+    lr_scale: jnp.ndarray  # host-controlled plateau scaling factor
+
+
+def make_optimizer(cfg: TrainConfig):
+    tx = optax.adamw(learning_rate=cfg.lr, weight_decay=cfg.w_decay) if cfg.w_decay else optax.adam(cfg.lr)
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def init_train_state(variables, cfg: TrainConfig) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=params,
+        step=jnp.zeros((), jnp.int32),
+        lr_scale=jnp.ones(()),
+    )
+
+
+def make_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
+    """Returns jitted (state, batch, key) -> (state, metrics)."""
+    tx = make_optimizer(cfg)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: ComplexBatch, key):
+        k_noise, k_drop = jax.random.split(key)
+        noised, targets = apply_noise(batch, k_noise, model_cfg.sigma, cfg, model_cfg.no_torsion)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                noised,
+                deterministic=False,
+                use_running_average=False,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            lb = score_matching_loss(
+                out.tr_pred, out.rot_pred, out.tor_pred, targets, noised, model_cfg.sigma,
+                cfg.tr_weight, cfg.rot_weight, cfg.tor_weight, model_cfg.no_torsion,
+            )
+            return lb.loss, (lb, mut["batch_stats"])
+
+        (loss, (lb, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        # NaN-batch skip (reference utils/training.py:204-206): zero the update
+        ok = jnp.isfinite(loss)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        decay = jnp.minimum(cfg.ema_rate, (1 + state.step) / (10 + state.step))
+        new_ema = jax.tree.map(lambda e, p: decay * e + (1 - decay) * p, state.ema_params, new_params)
+
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=jax.tree.map(lambda a, b: jnp.where(ok, b, a), state.batch_stats, new_bs),
+            opt_state=new_opt,
+            ema_params=new_ema,
+            step=state.step + 1,
+            lr_scale=state.lr_scale,
+        )
+        metrics = dict(
+            loss=loss, tr_loss=lb.tr_loss, rot_loss=lb.rot_loss, tor_loss=lb.tor_loss,
+            tr_base_loss=lb.tr_base_loss, rot_base_loss=lb.rot_base_loss, tor_base_loss=lb.tor_base_loss,
+            skipped=1.0 - ok.astype(jnp.float32),
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
+    @jax.jit
+    def eval_step(state: TrainState, batch: ComplexBatch, key):
+        noised, targets = apply_noise(batch, key, model_cfg.sigma, cfg, model_cfg.no_torsion)
+        out = model.apply({"params": state.params, "batch_stats": state.batch_stats}, noised)
+        lb = score_matching_loss(
+            out.tr_pred, out.rot_pred, out.tor_pred, targets, noised, model_cfg.sigma,
+            cfg.tr_weight, cfg.rot_weight, cfg.tor_weight, model_cfg.no_torsion,
+        )
+        return dict(
+            loss=lb.loss, tr_loss=lb.tr_loss, rot_loss=lb.rot_loss, tor_loss=lb.tor_loss,
+            t=jnp.mean(noised.t_tr),
+        )
+
+    return eval_step
+
+
+class AverageMeter:
+    """Running means of metric dicts, optionally bucketed by t-interval
+    (reference utils/training.py:152-181)."""
+
+    def __init__(self, intervals: int = 1):
+        self.intervals = intervals
+        self.sums = {}
+        self.counts = {}
+
+    def add(self, metrics: dict, t: Optional[float] = None):
+        bucket = 0 if self.intervals == 1 or t is None else min(int(t * self.intervals), self.intervals - 1)
+        for k, v in metrics.items():
+            key = (k, bucket)
+            self.sums[key] = self.sums.get(key, 0.0) + float(v)
+            self.counts[key] = self.counts.get(key, 0) + 1
+
+    def summary(self) -> dict:
+        out = {}
+        for (k, b), s in self.sums.items():
+            name = k if self.intervals == 1 else f"{k}_interval{b}"
+            out[name] = s / self.counts[(k, b)]
+        return out
+
+
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau over the jitted state's lr_scale."""
+
+    def __init__(self, patience: int = 30, factor: float = 0.7, goal: str = "min"):
+        self.patience = patience
+        self.factor = factor
+        self.goal = goal
+        self.best = None
+        self.bad_epochs = 0
+
+    def step(self, state: TrainState, metric: float) -> TrainState:
+        better = self.best is None or (metric < self.best if self.goal == "min" else metric > self.best)
+        if better:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.bad_epochs = 0
+                return state._replace(lr_scale=state.lr_scale * self.factor)
+        return state
+
+
+def train_epoch(train_step, state, batches, key):
+    meter = AverageMeter()
+    for i, batch in enumerate(batches):
+        key, k = jax.random.split(key)
+        state, metrics = train_step(state, batch, k)
+        meter.add({k_: float(v) for k_, v in metrics.items()})
+    return state, meter.summary()
+
+
+def test_epoch(eval_step, state, batches, key, intervals: int = 1):
+    meter = AverageMeter(intervals)
+    for batch in batches:
+        key, k = jax.random.split(key)
+        metrics = eval_step(state, batch, k)
+        t = float(metrics.pop("t"))
+        meter.add({k_: float(v) for k_, v in metrics.items()}, t=t)
+    return meter.summary()

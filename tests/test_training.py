@@ -1,0 +1,89 @@
+"""Training step + data-parallel mesh tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from confidence_bootstrapping_tpu.config import TrainConfig
+from confidence_bootstrapping_tpu.models.score_model import TensorProductScoreModel
+from confidence_bootstrapping_tpu.parallel import mesh as meshlib
+from confidence_bootstrapping_tpu.train import diffusion, train_loop
+from confidence_bootstrapping_tpu.train.losses import score_matching_loss
+
+from test_score_model import SMALL_CFG, make_random_batch
+
+
+def test_apply_noise_targets():
+    batch = make_random_batch(B=4)
+    cfg = TrainConfig()
+    noised, targets = diffusion.apply_noise(batch, jax.random.PRNGKey(0), SMALL_CFG.sigma, cfg)
+    assert np.isfinite(np.asarray(noised.lig_pos)).all()
+    assert np.isfinite(np.asarray(targets.tr_score)).all()
+    assert np.isfinite(np.asarray(targets.rot_score)).all()
+    # torsion targets masked
+    np.testing.assert_allclose(np.asarray(targets.tor_score)[:, 2:], 0.0)
+    # times in [minimum_t, 1]
+    t = np.asarray(noised.t_tr)
+    assert (t >= 0).all() and (t <= 1).all()
+    # positions moved
+    assert np.abs(np.asarray(noised.lig_pos) - np.asarray(batch.lig_pos)).max() > 1e-3
+
+
+def test_train_step_updates_and_finite():
+    batch = make_random_batch(B=4)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    cfg = TrainConfig(lr=1e-3)
+    state = train_loop.init_train_state(variables, cfg)
+    step = train_loop.make_train_step(model, SMALL_CFG, cfg)
+
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 3
+    # params and EMA moved
+    p0 = jax.tree.leaves(variables["params"])[0]
+    p1 = jax.tree.leaves(state.params)[0]
+    assert np.abs(np.asarray(p0) - np.asarray(p1)).max() > 0
+    e1 = jax.tree.leaves(state.ema_params)[0]
+    assert np.abs(np.asarray(e1) - np.asarray(p1)).max() > 0
+
+
+def test_train_step_data_parallel_8_devices():
+    """The same jitted step with the batch sharded over an 8-device mesh."""
+    assert len(jax.devices()) == 8, "conftest should force 8 virtual cpu devices"
+    m = meshlib.make_mesh()
+    batch = make_random_batch(B=8)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    cfg = TrainConfig(lr=1e-3)
+    state = train_loop.init_train_state(variables, cfg)
+    step = train_loop.make_train_step(model, SMALL_CFG, cfg)
+
+    sharded = meshlib.shard_batch(m, batch)
+    state_r = meshlib.replicate(m, state)
+    new_state, metrics = step(state_r, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # gradient math must match the single-device run
+    new_state_1, metrics_1 = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["loss"]), float(metrics_1["loss"]), rtol=1e-4)
+    a = jax.tree.leaves(new_state.params)[0]
+    b = jax.tree.leaves(new_state_1.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_plateau_scheduler():
+    cfg = TrainConfig()
+    batch = make_random_batch(B=2)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    state = train_loop.init_train_state(variables, cfg)
+    sched = train_loop.PlateauScheduler(patience=1, factor=0.5)
+    state = sched.step(state, 1.0)
+    state = sched.step(state, 1.1)
+    assert float(state.lr_scale) == 1.0
+    state = sched.step(state, 1.2)  # second bad epoch > patience
+    assert float(state.lr_scale) == 0.5
