@@ -226,6 +226,47 @@ def featurize_receptor(
     return rec_f, rec_pos, nbr.astype(np.int32), mask, lm, residues
 
 
+def featurize_receptor_atoms(
+    residues,
+    atom_radius: float = 5.0,
+    atom_max_neighbors: int = 8,
+):
+    """All-atom receptor arrays for the confidence model.
+
+    -> (atom_f [a, 4], atom_pos [a, 3], atom_nbr [a, K], atom_nbr_mask,
+    atom_res [a]): features [amino acid, atomic number, atom_type_2 =
+    (name + '*')[:2], atom_type_3 = name] (reference process_mols.py:558-561),
+    kNN edges capped at atom_max_neighbors within atom_radius.
+    """
+    feats, pos, res_idx = [], [], []
+    for ri, r in enumerate(residues):
+        aa = vocab.safe_index(vocab.AMINO_ACIDS, r.name)
+        for name, xyz in r.atoms.items():
+            z = r.elements.get(name, 0)
+            if z == 1:
+                continue
+            feats.append(
+                [
+                    aa,
+                    vocab.safe_index(vocab.ATOMIC_NUMS, z),
+                    vocab.safe_index(vocab.ATOM_TYPE_2, (name + "*")[:2]),
+                    vocab.safe_index(vocab.ATOM_TYPE_3, name),
+                ]
+            )
+            pos.append(xyz)
+            res_idx.append(ri)
+    atom_f = np.asarray(feats, dtype=np.int32)
+    atom_pos = np.asarray(pos, dtype=np.float32)
+    atom_res = np.asarray(res_idx, dtype=np.int32)
+    a = len(atom_f)
+    k = min(atom_max_neighbors, a - 1)
+    tree = cKDTree(atom_pos)
+    d, idx = tree.query(atom_pos, k=k + 1)
+    nbr = idx[:, 1:].astype(np.int32)
+    mask = d[:, 1:] < atom_radius
+    return atom_f, atom_pos, nbr, mask, atom_res
+
+
 def build_host_complex(
     name: str,
     mol: Molecule,
@@ -235,16 +276,31 @@ def build_host_complex(
     c_alpha_max_neighbors: int = 24,
     knn_only_graph: bool = True,
     receptor_radius: float = 15.0,
+    all_atoms: bool = False,
+    atom_radius: float = 5.0,
+    atom_max_neighbors: int = 8,
 ) -> HostComplex:
     """Featurize one complex and center it at the receptor centroid
     (the reference centers all graphs at the receptor center,
     process_mols.py / inference_utils.py)."""
     feats, heavy, esrc, edst, eattr = featurize_ligand(mol, remove_hs=remove_hs)
     tor_src, tor_dst, mask_rotate = get_transformation_mask(heavy.num_atoms, heavy.bonds)
-    rec_f, rec_pos, rec_nbr, rec_nbr_mask, lm, _ = featurize_receptor(
+    rec_f, rec_pos, rec_nbr, rec_nbr_mask, lm, residues = featurize_receptor(
         structure, lm_embeddings, c_alpha_max_neighbors, knn_only_graph, receptor_radius
     )
     center = rec_pos.mean(axis=0)
+    atom_kwargs = {}
+    if all_atoms:
+        atom_f, atom_pos, atom_nbr, atom_nbr_mask, atom_res = featurize_receptor_atoms(
+            residues, atom_radius, atom_max_neighbors
+        )
+        atom_kwargs = dict(
+            atom_f=atom_f,
+            atom_pos=(atom_pos - center).astype(np.float32),
+            atom_nbr=atom_nbr,
+            atom_nbr_mask=atom_nbr_mask,
+            atom_res=atom_res,
+        )
     return HostComplex(
         name=name,
         lig_f=feats,
@@ -262,4 +318,5 @@ def build_host_complex(
         rec_nbr_mask=rec_nbr_mask,
         orig_center=center.astype(np.float32),
         orig_lig_pos=(heavy.pos - center).astype(np.float32),
+        **atom_kwargs,
     )

@@ -128,6 +128,17 @@ _POLY_BASES = {
         {(2, 0, 1): 1.0, (0, 2, 1): -1.0},  # z(x^2 - y^2)
         {(3, 0, 0): 1.0, (1, 2, 0): -3.0},  # x(x^2 - 3y^2)
     ],
+    4: [
+        {(3, 1, 0): 1.0, (1, 3, 0): -1.0},  # xy(x^2 - y^2)
+        {(2, 1, 1): 3.0, (0, 3, 1): -1.0},  # yz(3x^2 - y^2)
+        {(1, 1, 2): 6.0, (3, 1, 0): -1.0, (1, 3, 0): -1.0},  # xy(6z^2 - x^2 - y^2)
+        {(0, 1, 3): 4.0, (2, 1, 1): -3.0, (0, 3, 1): -3.0},  # yz(4z^2 - 3x^2 - 3y^2)
+        {(4, 0, 0): 3.0, (0, 4, 0): 3.0, (0, 0, 4): 8.0, (2, 2, 0): 6.0, (2, 0, 2): -24.0, (0, 2, 2): -24.0},
+        {(1, 0, 3): 4.0, (3, 0, 1): -3.0, (1, 2, 1): -3.0},  # xz(4z^2 - 3x^2 - 3y^2)
+        {(2, 0, 2): 6.0, (0, 2, 2): -6.0, (4, 0, 0): -1.0, (0, 4, 0): 1.0},  # (x^2-y^2)(6z^2-x^2-y^2)
+        {(3, 0, 1): 1.0, (1, 2, 1): -3.0},  # xz(x^2 - 3y^2)
+        {(4, 0, 0): 1.0, (2, 2, 0): -6.0, (0, 4, 0): 1.0},  # x^4 - 6x^2y^2 + y^4
+    ],
 }
 
 
