@@ -1,0 +1,89 @@
+"""Replay buffer of self-generated complexes (reference bootstrapping/buffer.py).
+
+Holds padded host complexes (numpy dicts) whose ligand positions are sampled
+poses, stamped with the confidence and the rollout iteration:
+
+  * confidence-weighted sampling with temperature when ``fixed_length`` is
+    set (reference :37-45);
+  * per-receptor cap ``max_complexes_per_couple`` ranked by
+    confidence + buffer_decay * iteration (reference :96-114);
+  * ``reset_buffer`` drops old rollouts each iteration.
+
+Items already carry t=0 (the CB finetune applies its own NoiseTransform).
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class BufferItem:
+    padded: dict  # padded complex arrays (lig_pos = sampled pose)
+    name: str
+    confidence: float
+    iteration: int
+
+
+@dataclass
+class CBBuffer:
+    cluster_ligands: Sequence[str] = ()
+    multiplicity: int = 1
+    max_complexes_per_couple: Optional[int] = None
+    fixed_length: Optional[int] = None
+    temperature: float = 1.0
+    buffer_decay: float = 0.2
+    reset_buffer: bool = False
+    rng: np.random.RandomState = field(default_factory=lambda: np.random.RandomState(0))
+
+    def __post_init__(self):
+        self.complexes: List[BufferItem] = []
+        self.iteration = 0
+        self.ligand_cnt: Dict[str, int] = {name: 0 for name in self.cluster_ligands}
+
+    def __len__(self):
+        if self.fixed_length is None:
+            return len(self.complexes) * self.multiplicity
+        return self.fixed_length
+
+    def get(self, idx: int) -> dict:
+        if self.fixed_length is None:
+            item = self.complexes[idx % len(self.complexes)]
+        else:
+            conf = np.asarray([c.confidence for c in self.complexes])
+            w = np.exp(conf * self.temperature)
+            item = self.complexes[self.rng.choice(len(self.complexes), p=w / w.sum())]
+        return copy.deepcopy(item.padded)
+
+    def sample_batch(self, batch_size: int) -> List[dict]:
+        return [self.get(i) for i in range(batch_size)]
+
+    def add_complexes(self, new_items: Sequence[Tuple[dict, str, float]]):
+        """new_items: (padded complex with sampled pose, name, confidence)."""
+        fresh = [BufferItem(p, n, float(c), self.iteration) for p, n, c in new_items]
+        for item in fresh:
+            self.ligand_cnt[item.name] = self.ligand_cnt.get(item.name, 0) + 1
+        self.complexes = fresh if self.reset_buffer else self.complexes + fresh
+        self.iteration += 1
+
+        if self.max_complexes_per_couple is not None:
+            by_receptor: Dict[str, List[BufferItem]] = {}
+            for item in self.complexes:
+                by_receptor.setdefault(item.name[:6], []).append(item)
+            kept = []
+            for items in by_receptor.values():
+                items.sort(key=lambda it: it.confidence + self.buffer_decay * it.iteration, reverse=True)
+                kept.extend(items[: self.max_complexes_per_couple])
+            self.complexes = kept
+
+    def statistics(self) -> dict:
+        return dict(
+            size=len(self.complexes),
+            iteration=self.iteration,
+            mean_confidence=float(np.mean([c.confidence for c in self.complexes])) if self.complexes else 0.0,
+            ligand_counts=dict(self.ligand_cnt),
+        )

@@ -127,6 +127,41 @@ class TrainConfig:
     inference_earlystop_goal: str = "max"
 
 
+@dataclass(frozen=True)
+class CBConfig:
+    """Confidence-Bootstrapping loop knobs (reference bootstrapping/parsing.py
+    parse_cb_args + README.md:47-49 recipe)."""
+
+    cb_cluster: str = ""
+    n_epochs: int = 10
+    cb_inference_freq: int = 5
+    inference_samples: int = 8
+    inference_steps: int = 20
+    inference_batch_size: int = 8
+    num_inference_complexes: Optional[int] = 100
+    confidence_cutoff: float = -4.0
+    oracle_confidence: bool = False  # use -RMSD instead of the model's score
+    initial_iterations: int = 5
+    inference_iterations: int = 4
+    limit_failures: int = 5
+    # buffer
+    max_complexes_per_couple: Optional[int] = 5
+    fixed_length: Optional[int] = 100
+    temperature: float = 1.0
+    buffer_decay: float = 0.0
+    reset_buffer: bool = False
+    # finetune time sampling
+    minimum_t: float = 0.0
+    sampling_mixing_coeff: float = 0.0
+    sampling_alpha: float = 2.0
+    sampling_beta: float = 1.0
+    keep_original_train: bool = False
+    total_trainset_size: int = 100
+    batch_size: int = 16
+    lr: float = 1e-3
+    use_ema_for_rollouts: bool = True
+
+
 def to_dict(cfg) -> dict:
     d = dataclasses.asdict(cfg)
 

@@ -1,0 +1,99 @@
+"""Confidence-Bootstrapping loop tests (tiny synthetic cluster)."""
+
+import numpy as np
+import jax
+
+from confidence_bootstrapping_tpu.config import CBConfig
+from confidence_bootstrapping_tpu.bootstrapping.buffer import CBBuffer
+from confidence_bootstrapping_tpu.bootstrapping import finetune
+from confidence_bootstrapping_tpu.data.complex_graph import HostComplex, pick_bucket
+from confidence_bootstrapping_tpu.data.mol_io import Molecule
+from confidence_bootstrapping_tpu.models.score_model import TensorProductScoreModel
+
+from test_score_model import SMALL_CFG
+
+
+def _synthetic_target(name="AAAA_1", seed=0, n_lig=8, n_rec=20):
+    rng = np.random.RandomState(seed)
+    pos = np.cumsum(rng.randn(n_lig, 3).astype(np.float32), axis=0)  # chain
+    bonds = [(i, i + 1, 1) for i in range(n_lig - 1)]
+    mol = Molecule(np.full(n_lig, 6), pos, bonds, np.zeros(n_lig, dtype=int))
+    src = np.asarray([b[0] for b in bonds] + [b[1] for b in bonds], dtype=np.int32)
+    dst = np.asarray([b[1] for b in bonds] + [b[0] for b in bonds], dtype=np.int32)
+    attr = np.zeros((len(src), 4), dtype=np.float32)
+    attr[:, 0] = 1
+    tor_src = np.asarray([2], dtype=np.int32)
+    tor_dst = np.asarray([3], dtype=np.int32)
+    mask_rotate = np.zeros((1, n_lig), dtype=bool)
+    mask_rotate[0, 3:] = True
+    rec_pos = rng.randn(n_rec, 3).astype(np.float32) * 5
+    k = 4
+    from scipy.spatial import cKDTree
+
+    _, idx = cKDTree(rec_pos).query(rec_pos, k=k + 1)
+    hc = HostComplex(
+        name=name,
+        lig_f=rng.randint(0, 2, size=(n_lig, 16)),
+        lig_pos=pos,
+        lig_edge_src=src,
+        lig_edge_dst=dst,
+        lig_edge_attr=attr,
+        tor_src=tor_src,
+        tor_dst=tor_dst,
+        mask_rotate=mask_rotate,
+        rec_f=rng.randint(0, 20, size=n_rec).astype(np.int32),
+        rec_lm=np.zeros((n_rec, 16), dtype=np.float32),
+        rec_pos=rec_pos,
+        rec_nbr=idx[:, 1:].astype(np.int32),
+        rec_nbr_mask=np.ones((n_rec, k), dtype=bool),
+        orig_center=np.zeros(3, dtype=np.float32),
+        orig_lig_pos=pos,
+    )
+    return finetune.CBTarget(hc, mol, lm_dim=16)
+
+
+def test_buffer_semantics():
+    buf = CBBuffer(cluster_ligands=["AAAA_1"], max_complexes_per_couple=2, fixed_length=8, temperature=1.0)
+    items = [({"lig_pos": np.zeros((4, 3))}, "AAAA_1", c) for c in [0.1, 0.9, 0.5]]
+    buf.add_complexes(items)
+    assert len(buf.complexes) == 2  # capped per receptor
+    confs = sorted(c.confidence for c in buf.complexes)
+    assert confs == [0.5, 0.9]
+    assert len(buf) == 8  # fixed length
+    _ = buf.sample_batch(4)
+    # reset buffer drops old
+    buf2 = CBBuffer(cluster_ligands=["AAAA_1"], reset_buffer=True)
+    buf2.add_complexes(items[:2])
+    buf2.add_complexes(items[2:])
+    assert len(buf2.complexes) == 1
+
+
+def test_cb_loop_oracle():
+    """Two-epoch CB loop with oracle confidence on a tiny synthetic cluster."""
+    targets = [_synthetic_target("AAAA_1", 0), _synthetic_target("BBBB_1", 1)]
+    model = TensorProductScoreModel(SMALL_CFG)
+    from confidence_bootstrapping_tpu.data.complex_graph import replicate_complex
+
+    variables = model.init(jax.random.PRNGKey(0), replicate_complex(targets[0].padded, 1))
+
+    cb = CBConfig(
+        n_epochs=2,
+        cb_inference_freq=1,
+        inference_samples=2,
+        inference_steps=2,
+        initial_iterations=1,
+        inference_iterations=1,
+        confidence_cutoff=-1000.0,  # keep everything
+        oracle_confidence=True,
+        fixed_length=4,
+        batch_size=2,
+        max_complexes_per_couple=None,
+    )
+    state, history = finetune.inference_finetune(
+        model, variables, targets, SMALL_CFG, cb, jax.random.PRNGKey(1)
+    )
+    assert len(history) == 2
+    assert history[0]["inference"]["n_sampled"] == 4  # 2 targets x 2 samples
+    assert history[0]["buffer"]["size"] > 0
+    assert np.isfinite(history[-1]["train"]["loss"])
+    assert int(state.step) > 0
