@@ -1,0 +1,126 @@
+"""Confidence-model training (reference confidence/confidence_train.py).
+
+BCE pose classification (optionally RMSD regression / per-atom labels) with
+jitted train/eval steps, accuracy + ROC-AUC validation metrics, and the
+best/EMA checkpoint bookkeeping of the reference (:283-446).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ScoreModelConfig, TrainConfig
+from ..train.losses import confidence_loss
+from ..train.train_loop import AverageMeter, TrainState, init_train_state, make_optimizer
+
+
+def make_confidence_train_step(model, cfg: TrainConfig, rmsd_prediction: bool = False):
+    tx = make_optimizer(cfg)
+
+    @jax.jit
+    def step(state: TrainState, batch, labels, key):
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                deterministic=False,
+                use_running_average=False,
+                rngs={"dropout": key},
+                mutable=["batch_stats"],
+            )
+            loss = confidence_loss(out.confidence, labels, rmsd_prediction)
+            return loss, (out.confidence, mut["batch_stats"])
+
+        (loss, (pred, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        ok = jnp.isfinite(loss)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        decay = jnp.minimum(cfg.ema_rate, (1 + state.step) / (10 + state.step))
+        new_ema = jax.tree.map(lambda e, p: decay * e + (1 - decay) * p, state.ema_params, new_params)
+        if rmsd_prediction:
+            acc = jnp.mean(jnp.abs(pred - labels))
+        else:
+            acc = jnp.mean(((pred > 0) == (labels > 0.5)).astype(jnp.float32))
+        new_state = TrainState(new_params, jax.tree.map(lambda a, b: jnp.where(ok, b, a), state.batch_stats, new_bs),
+                               new_opt, new_ema, state.step + 1, state.lr_scale)
+        return new_state, dict(confidence_loss=loss, accuracy=acc)
+
+    return step
+
+
+def make_confidence_eval_step(model, rmsd_prediction: bool = False):
+    @jax.jit
+    def step(state: TrainState, batch, labels):
+        out = model.apply({"params": state.params, "batch_stats": state.batch_stats}, batch)
+        loss = confidence_loss(out.confidence, labels, rmsd_prediction)
+        return loss, out.confidence
+
+    return step
+
+
+def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
+    """ROC-AUC via the rank statistic (no sklearn dependency needed)."""
+    pos = scores[labels > 0.5]
+    neg = scores[labels <= 0.5]
+    if len(pos) == 0 or len(neg) == 0:
+        return float("nan")
+    order = np.argsort(np.concatenate([pos, neg]))
+    ranks = np.empty(len(order))
+    ranks[order] = np.arange(1, len(order) + 1)
+    r_pos = ranks[: len(pos)].sum()
+    return float((r_pos - len(pos) * (len(pos) + 1) / 2) / (len(pos) * len(neg)))
+
+
+def train_confidence(
+    model,
+    variables,
+    dataset,
+    cache,
+    cfg: TrainConfig,
+    n_epochs: int,
+    batches_per_epoch: int,
+    key,
+    val_dataset=None,
+    val_cache=None,
+    rmsd_prediction: bool = False,
+    log: Callable[[str], None] = print,
+):
+    """Full confidence training loop; returns (state, history)."""
+    state = init_train_state(variables, cfg)
+    train_step = make_confidence_train_step(model, cfg, rmsd_prediction)
+    eval_step = make_confidence_eval_step(model, rmsd_prediction)
+    history = []
+    best_acc = -np.inf
+    best_state = state
+    for epoch in range(n_epochs):
+        meter = AverageMeter()
+        for _ in range(batches_per_epoch):
+            key, k1, k2 = jax.random.split(key, 3)
+            batch, labels = dataset.sample_batch(cache, cfg.batch_size)
+            state, metrics = train_step(state, batch, jnp.asarray(labels), k2)
+            meter.add({k_: float(v) for k_, v in metrics.items()})
+        entry = dict(epoch=epoch, train=meter.summary())
+
+        if val_dataset is not None:
+            all_labels, all_scores, losses = [], [], []
+            for _ in range(max(1, batches_per_epoch // 4)):
+                batch, labels = val_dataset.sample_batch(val_cache, cfg.batch_size)
+                loss, scores = eval_step(state, batch, jnp.asarray(labels))
+                losses.append(float(loss))
+                all_labels.append(labels)
+                all_scores.append(np.asarray(scores))
+            labels_, scores_ = np.concatenate(all_labels), np.concatenate(all_scores)
+            acc = float(np.mean((scores_ > 0) == (labels_ > 0.5)))
+            entry["val"] = dict(loss=float(np.mean(losses)), accuracy=acc, roc_auc=roc_auc(labels_, scores_))
+            if acc > best_acc:
+                best_acc, best_state = acc, state
+        history.append(entry)
+        log(f"confidence epoch {epoch}: {entry}")
+    return (best_state if val_dataset is not None else state), history
