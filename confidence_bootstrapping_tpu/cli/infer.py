@@ -1,0 +1,201 @@
+"""Benchmark evaluator CLI (the reference's ``inference.py`` capability).
+
+Evaluates a score (+ optional confidence) model over a set of complexes:
+per-complex pose sampling with retry/batch-halving, symmetry RMSDs,
+centroid distances, self-intersection, confidence re-ranking, the full
+metric dictionary (eval/metrics.py) and ``.npy`` result artifacts
+(rmsds/centroid_distances/confidences/run_times/complex_names, reference
+inference.py:614-620).
+
+Complex sets are given as a CSV with columns
+``complex_name,protein_path,ligand_path`` (like the reference's
+protein_ligand_example_csv.csv) or a directory of ``{name}/{name}_protein
+_processed.pdb + {name}_ligand.sdf`` (PDBBind/DockGen layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import List, Tuple
+
+import jax
+import numpy as np
+
+from ..config import SamplerConfig, ScoreModelConfig
+from ..data import featurize, mol_io
+from ..data.complex_graph import pick_bucket, pad_complex, replicate_complex
+from ..eval import metrics as metrics_mod
+from ..eval import rmsd as rmsd_mod
+from ..sampler import sampling
+from .dock import load_or_init_model
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--protein_ligand_csv", default=None)
+    p.add_argument("--data_dir", default=None, help="dir of {name}/{name}_ligand.sdf etc.")
+    p.add_argument("--names_file", default=None, help="optional list of complex names to evaluate")
+    p.add_argument("--model_dir", default=None)
+    p.add_argument("--ckpt", default="last_model")
+    p.add_argument("--confidence_model_dir", default=None)
+    p.add_argument("--confidence_ckpt", default="last_model")
+    p.add_argument("--samples_per_complex", type=int, default=10)
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--limit_failures", type=int, default=5)
+    p.add_argument("--no_final_step_noise", action="store_true")
+    p.add_argument("--ode", action="store_true")
+    p.add_argument("--out_dir", default="results/eval")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--esm_embeddings_path", default=None)
+    return p
+
+
+def discover_complexes(args) -> List[Tuple[str, str, str]]:
+    out = []
+    if args.protein_ligand_csv:
+        import csv
+
+        with open(args.protein_ligand_csv) as f:
+            for row in csv.DictReader(f):
+                out.append((row["complex_name"], row["protein_path"], row["ligand_path"]))
+    elif args.data_dir:
+        names = sorted(os.listdir(args.data_dir))
+        if args.names_file:
+            keep = set(open(args.names_file).read().split())
+            names = [n for n in names if n in keep]
+        for n in names:
+            d = os.path.join(args.data_dir, n)
+            prot = os.path.join(d, f"{n}_protein_processed.pdb")
+            lig = os.path.join(d, f"{n}_ligand.sdf")
+            if not os.path.exists(lig):
+                lig = os.path.join(d, f"{n}_ligand.mol2")
+            if os.path.exists(prot) and os.path.exists(lig):
+                out.append((n, prot, lig))
+    else:
+        raise SystemExit("provide --protein_ligand_csv or --data_dir")
+    if args.limit_complexes:
+        out = out[: args.limit_complexes]
+    return out
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    complexes = discover_complexes(args)
+    print(f"evaluating {len(complexes)} complexes, {args.samples_per_complex} poses each")
+
+    N = args.samples_per_complex
+    sampler_cfg = SamplerConfig(
+        inference_steps=args.inference_steps, no_final_step_noise=args.no_final_step_noise, ode=args.ode
+    )
+    key = jax.random.PRNGKey(args.seed)
+
+    model = cfg = variables = None
+    cmodel = cvars = None
+    names, all_rmsds, all_centroids, all_confidences, all_self, run_times = [], [], [], [], [], []
+    failures = 0
+
+    for name, prot_path, lig_path in complexes:
+        try:
+            mol = mol_io.read_molecule(lig_path)
+            structure = mol_io.parse_pdb(prot_path)
+            hc = featurize.build_host_complex(name, mol, structure)
+            heavy = mol.remove_hs()
+            bucket = pick_bucket(len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src), len(hc.rec_f))
+            padded = pad_complex(hc, bucket, lm_dim=0)
+
+            if model is None:
+                batch1 = replicate_complex(padded, 1)
+                model, cfg, variables = load_or_init_model(
+                    args.model_dir, args.ckpt, batch1, ScoreModelConfig(lm_embedding_dim=0)
+                )
+                if args.confidence_model_dir:
+                    cmodel, _, cvars = load_or_init_model(args.confidence_model_dir, args.confidence_ckpt, batch1)
+
+            t0 = time.time()
+            poses_list, confs_list = [], []
+            bs = min(args.batch_size, N)
+            start = 0
+            local_fail = 0
+            while start < N:
+                n = min(bs, N - start)
+                try:
+                    batch = replicate_complex(padded, n)
+                    key, k1, k2 = jax.random.split(key, 3)
+                    batch = sampling.randomize_position(batch, k1, cfg.sigma.tr_sigma_max)
+                    final, _ = sampling.sample_jit(model, variables, batch, k2, cfg, sampler_cfg)
+                    pos = np.asarray(final.lig_pos)[:, : len(hc.lig_f)]
+                    if cmodel is not None:
+                        conf = np.asarray(sampling.score_confidence(cmodel, cvars, final))
+                    else:
+                        conf = np.zeros(n)
+                    poses_list.append(pos)
+                    confs_list.append(conf)
+                    start += n
+                except Exception as e:  # retry with halved batch (reference :420-427)
+                    local_fail += 1
+                    bs = max(1, bs // 2)
+                    print(f"{name}: batch failed ({type(e).__name__}), halving to {bs}")
+                    if local_fail > args.limit_failures:
+                        raise
+            run_times.append(time.time() - t0)
+
+            poses = np.concatenate(poses_list)
+            confs = np.concatenate(confs_list)
+            rmsds = rmsd_mod.symmetry_rmsd(hc.orig_lig_pos, poses, heavy.atomic_nums, heavy.bonds)
+            cent = np.linalg.norm(poses.mean(axis=1) - hc.orig_lig_pos.mean(axis=0), axis=-1)
+            self_d = np.asarray([metrics_mod.min_self_distance(p, heavy.bonds) for p in poses])
+
+            names.append(name)
+            all_rmsds.append(rmsds)
+            all_centroids.append(cent)
+            all_confidences.append(confs)
+            all_self.append(self_d)
+            print(f"{name}: min rmsd {rmsds.min():.2f} A, top-conf rmsd {rmsds[np.argmax(confs)]:.2f} A, "
+                  f"{run_times[-1]:.1f}s")
+        except Exception as e:
+            failures += 1
+            # sentinel for failed complexes (reference inference.py:572-580)
+            names.append(name)
+            all_rmsds.append(np.full(N, 10000.0))
+            all_centroids.append(np.full(N, 10000.0))
+            all_confidences.append(np.full(N, -1e-6))
+            all_self.append(np.full(N, np.inf))
+            run_times.append(0.0)
+            print(f"FAILED {name}: {type(e).__name__}: {e}")
+            if failures > args.limit_failures:
+                raise
+
+    rmsds = np.stack(all_rmsds)
+    centroids = np.stack(all_centroids)
+    confidences = np.stack(all_confidences)
+    self_d = np.stack(all_self)
+    run_times = np.asarray(run_times)
+
+    np.save(f"{args.out_dir}/rmsds.npy", rmsds)
+    np.save(f"{args.out_dir}/centroid_distances.npy", centroids)
+    np.save(f"{args.out_dir}/confidences.npy", confidences)
+    np.save(f"{args.out_dir}/min_self_distances.npy", self_d)
+    np.save(f"{args.out_dir}/run_times.npy", run_times)
+    np.save(f"{args.out_dir}/complex_names.npy", np.asarray(names))
+
+    m = metrics_mod.performance_metrics(
+        rmsds, centroids, confidences if cmodel is not None else None, self_d, run_times
+    )
+    m["n_complexes"] = len(names)
+    m["failures"] = failures
+    m["poses_per_sec"] = round(float(len(names) * N / max(run_times.sum(), 1e-9)), 3)
+    with open(f"{args.out_dir}/metrics.json", "w") as f:
+        json.dump(m, f, indent=2)
+    for k, v in sorted(m.items()):
+        print(f"{k}: {v}")
+    return m
+
+
+if __name__ == "__main__":
+    main()

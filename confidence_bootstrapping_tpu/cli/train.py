@@ -1,0 +1,178 @@
+"""Score-model training CLI (the reference's ``train.py`` capability).
+
+Epoch loop with: jitted DP train steps, masked-stat batch norm, EMA,
+validation losses, periodic in-training inference benchmarks (RMSD<2A rates
+— the reference's real regression check, utils/training.py:292-373), early
+stopping on the inference metric, the best/EMA checkpoint zoo
+(train.py:109-150), plateau scheduler, and a persisted model_config.yml.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import jax
+import numpy as np
+import yaml
+
+from ..config import SamplerConfig, ScoreModelConfig, TrainConfig, save_yaml, to_dict
+from ..data.complex_graph import replicate_complex
+from ..data.dataset import ComplexDataset, discover_dir
+from ..eval import rmsd as rmsd_mod
+from ..models.factory import get_model
+from ..parallel import mesh as meshlib
+from ..sampler import sampling
+from ..train import checkpoints, train_loop
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--split_train", default=None, help="file with train complex names")
+    p.add_argument("--split_val", default=None)
+    p.add_argument("--cache_path", default="cache")
+    p.add_argument("--workdir", default="workdir/run")
+    p.add_argument("--config", default=None, help="yaml overlay for the model config")
+    p.add_argument("--n_epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--num_inference_complexes", type=int, default=10)
+    p.add_argument("--inference_samples", type=int, default=4)
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--inference_earlystop_patience", type=int, default=30)
+    p.add_argument("--restart_dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--data_parallel", action="store_true", help="shard batches over all local devices")
+    return p
+
+
+def _names(path):
+    return open(path).read().split() if path else None
+
+
+def inference_benchmark(model, variables, dataset, model_cfg, n_complexes, n_samples, steps, key):
+    """Mini in-training benchmark: RMSD<2A / <5A rates (inference_epoch_fix)."""
+    sampler_cfg = SamplerConfig(inference_steps=steps)
+    groups = dataset.padded_by_bucket()
+    flat = [(tuple_b, p) for tuple_b, items in groups.items() for p in items]
+    rmsds = []
+    for _, padded in flat[:n_complexes]:
+        key, k1, k2 = jax.random.split(key, 3)
+        batch = replicate_complex(padded, n_samples)
+        batch = sampling.randomize_position(batch, k1, model_cfg.sigma.tr_sigma_max)
+        final, _ = sampling.sample_jit(model, variables, batch, k2, model_cfg, sampler_cfg)
+        L = int(np.asarray(batch.lig_mask)[0].sum())
+        poses = np.asarray(final.lig_pos)[:, :L]
+        orig = np.asarray(padded["lig_pos"])[:L]
+        r = np.sqrt(((poses - orig[None]) ** 2).sum(-1).mean(-1))
+        rmsds.append(r.min())  # best-of-N per complex
+    rmsds = np.asarray(rmsds)
+    return dict(
+        valinf_rmsds_lt2=float(np.mean(rmsds < 2)),
+        valinf_rmsds_lt5=float(np.mean(rmsds < 5)),
+        valinf_mean_rmsd=float(rmsds.mean()),
+    )
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    os.makedirs(args.workdir, exist_ok=True)
+
+    model_cfg = ScoreModelConfig(lm_embedding_dim=0)
+    if args.config:
+        with open(args.config) as f:
+            overlay = yaml.safe_load(f) or {}
+        model_cfg = ScoreModelConfig(**{**to_dict(model_cfg), **overlay})
+    tcfg = TrainConfig(lr=args.lr, batch_size=args.batch_size, n_epochs=args.n_epochs)
+
+    entries = discover_dir(args.data_dir, _names(args.split_train))
+    if args.limit_complexes:
+        entries = entries[: args.limit_complexes]
+    train_ds = ComplexDataset(entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms)
+    val_entries = discover_dir(args.data_dir, _names(args.split_val)) if args.split_val else entries[: max(1, len(entries) // 10)]
+    val_ds = ComplexDataset(val_entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms)
+    print(f"train {len(train_ds)} complexes, val {len(val_ds)}")
+
+    model = get_model(model_cfg)
+    rng = np.random.RandomState(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    example = train_ds.epoch_batches(args.batch_size, np.random.RandomState(0))[0]
+    variables = model.init(jax.random.PRNGKey(0), example)
+
+    state = train_loop.init_train_state(variables, tcfg)
+    if args.restart_dir and checkpoints.has_checkpoint(args.restart_dir):
+        v = dict(variables)
+        v = checkpoints.load_params(os.path.join(args.restart_dir, "last_model.msgpack"), v)
+        state = state._replace(params=v["params"], batch_stats=v.get("batch_stats", state.batch_stats), ema_params=v["params"])
+        print(f"restarted from {args.restart_dir}")
+
+    dp_mesh = meshlib.make_mesh() if args.data_parallel else None
+    train_step = train_loop.make_train_step(model, model_cfg, tcfg)
+    eval_step = train_loop.make_eval_step(model, model_cfg, tcfg)
+    scheduler = train_loop.PlateauScheduler(patience=30, factor=0.7)
+    save_yaml(model_cfg, os.path.join(args.workdir, checkpoints.CONFIG_NAME))
+
+    def save(name, params):
+        v = dict(variables)
+        v["params"] = params
+        v["batch_stats"] = state.batch_stats
+        checkpoints.save_params(os.path.join(args.workdir, f"{name}.msgpack"), v)
+
+    best_val, best_inf, bad_epochs = np.inf, -np.inf, 0
+    history = []
+    for epoch in range(args.n_epochs):
+        t0 = time.time()
+        batches = train_ds.epoch_batches(args.batch_size, rng)
+        if dp_mesh is not None:
+            batches = [meshlib.shard_batch(dp_mesh, b) for b in batches]
+        key, k = jax.random.split(key)
+        state, train_metrics = train_loop.train_epoch(train_step, state, batches, k)
+
+        key, k = jax.random.split(key)
+        val_metrics = train_loop.test_epoch(eval_step, state, val_ds.epoch_batches(args.batch_size, rng), k)
+        entry = dict(epoch=epoch, train=train_metrics, val=val_metrics, wall=time.time() - t0)
+
+        if args.val_inference_freq and (epoch + 1) % args.val_inference_freq == 0:
+            v = dict(variables)
+            v["params"] = state.ema_params
+            v["batch_stats"] = state.batch_stats
+            key, k = jax.random.split(key)
+            inf = inference_benchmark(
+                model, v, val_ds, model_cfg, args.num_inference_complexes,
+                args.inference_samples, args.inference_steps, k,
+            )
+            entry["inference"] = inf
+            if inf["valinf_rmsds_lt2"] > best_inf:
+                best_inf = inf["valinf_rmsds_lt2"]
+                save("best_inference_epoch_model", state.params)
+                save("best_ema_inference_epoch_model", state.ema_params)
+                bad_epochs = 0
+            else:
+                bad_epochs += 1
+
+        if val_metrics["loss"] < best_val:
+            best_val = val_metrics["loss"]
+            save("best_model", state.params)
+            save("best_ema_model", state.ema_params)
+        state = scheduler.step(state, val_metrics["loss"])
+        save("last_model", state.params)
+        save("last_ema_model", state.ema_params)
+        history.append(entry)
+        with open(os.path.join(args.workdir, "history.pkl"), "wb") as f:
+            pickle.dump(history, f)
+        print(f"epoch {epoch}: train loss {train_metrics['loss']:.4f} val {val_metrics['loss']:.4f} "
+              f"({entry['wall']:.1f}s)" + (f" inf<2A {entry['inference']['valinf_rmsds_lt2']:.3f}" if "inference" in entry else ""))
+
+        if bad_epochs * args.val_inference_freq > args.inference_earlystop_patience:
+            print("early stopping on inference metric")
+            break
+    return state, history
+
+
+if __name__ == "__main__":
+    main()

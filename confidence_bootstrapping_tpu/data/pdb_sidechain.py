@@ -1,0 +1,200 @@
+"""PDB side-chain ("van der Mers") dataset (reference ``datasets/pdb.py``).
+
+Treats buried side chains as pseudo-ligands for score-model pretraining
+(part of the pretrained score model's ``triple_training`` recipe):
+
+  * contact counting selects buried residues (reference :30-117, at least
+    ``min_contacts`` C-beta neighbors within ``max_dist``);
+  * the chosen residue's side chain becomes the ligand, with bonds from
+    per-amino-acid side-chain topology templates (reference builds chemical
+    group graphs from amino-acid SMILES, :120-145);
+  * a window of ``buffer_residue_num`` residues around it is deleted from
+    the receptor (reference :274-331).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from . import vocab
+from .complex_graph import HostComplex
+from .featurize import featurize_receptor
+from .mol_io import Molecule, ProteinStructure, parse_pdb
+
+# side-chain bond topology per amino acid (heavy atoms beyond CA)
+SIDECHAIN_BONDS: Dict[str, List[tuple]] = {
+    "ALA": [("CA", "CB")],
+    "ARG": [("CA", "CB"), ("CB", "CG"), ("CG", "CD"), ("CD", "NE"), ("NE", "CZ"), ("CZ", "NH1"), ("CZ", "NH2")],
+    "ASN": [("CA", "CB"), ("CB", "CG"), ("CG", "OD1"), ("CG", "ND2")],
+    "ASP": [("CA", "CB"), ("CB", "CG"), ("CG", "OD1"), ("CG", "OD2")],
+    "CYS": [("CA", "CB"), ("CB", "SG")],
+    "GLN": [("CA", "CB"), ("CB", "CG"), ("CG", "CD"), ("CD", "OE1"), ("CD", "NE2")],
+    "GLU": [("CA", "CB"), ("CB", "CG"), ("CG", "CD"), ("CD", "OE1"), ("CD", "OE2")],
+    "HIS": [("CA", "CB"), ("CB", "CG"), ("CG", "ND1"), ("CG", "CD2"), ("ND1", "CE1"), ("CD2", "NE2"), ("CE1", "NE2")],
+    "ILE": [("CA", "CB"), ("CB", "CG1"), ("CB", "CG2"), ("CG1", "CD1")],
+    "LEU": [("CA", "CB"), ("CB", "CG"), ("CG", "CD1"), ("CG", "CD2")],
+    "LYS": [("CA", "CB"), ("CB", "CG"), ("CG", "CD"), ("CD", "CE"), ("CE", "NZ")],
+    "MET": [("CA", "CB"), ("CB", "CG"), ("CG", "SD"), ("SD", "CE")],
+    "PHE": [("CA", "CB"), ("CB", "CG"), ("CG", "CD1"), ("CG", "CD2"), ("CD1", "CE1"), ("CD2", "CE2"), ("CE1", "CZ"), ("CE2", "CZ")],
+    "PRO": [("CA", "CB"), ("CB", "CG"), ("CG", "CD")],
+    "SER": [("CA", "CB"), ("CB", "OG")],
+    "THR": [("CA", "CB"), ("CB", "OG1"), ("CB", "CG2")],
+    "TRP": [("CA", "CB"), ("CB", "CG"), ("CG", "CD1"), ("CG", "CD2"), ("CD1", "NE1"), ("NE1", "CE2"), ("CD2", "CE2"), ("CD2", "CE3"), ("CE2", "CZ2"), ("CE3", "CZ3"), ("CZ2", "CH2"), ("CZ3", "CH2")],
+    "TYR": [("CA", "CB"), ("CB", "CG"), ("CG", "CD1"), ("CG", "CD2"), ("CD1", "CE1"), ("CD2", "CE2"), ("CE1", "CZ"), ("CE2", "CZ"), ("CZ", "OH")],
+    "VAL": [("CA", "CB"), ("CB", "CG1"), ("CB", "CG2")],
+}
+_AROMATIC = {"PHE": {"CG", "CD1", "CD2", "CE1", "CE2", "CZ"},
+             "TYR": {"CG", "CD1", "CD2", "CE1", "CE2", "CZ"},
+             "TRP": {"CG", "CD1", "CD2", "NE1", "CE2", "CE3", "CZ2", "CZ3", "CH2"},
+             "HIS": {"CG", "ND1", "CD2", "CE1", "NE2"}}
+
+
+def sidechain_molecule(residue) -> Optional[Molecule]:
+    """Side chain (CA + beyond) of a residue as a Molecule, or None."""
+    bonds_spec = SIDECHAIN_BONDS.get(residue.name)
+    if not bonds_spec:
+        return None
+    names = ["CA"] + sorted({n for b in bonds_spec for n in b if n != "CA"})
+    names = [n for n in names if n in residue.atoms]
+    if len(names) < 3:
+        return None
+    index = {n: i for i, n in enumerate(names)}
+    arom = _AROMATIC.get(residue.name, set())
+    bonds = []
+    for a, b in bonds_spec:
+        if a in index and b in index:
+            order = 4 if (a in arom and b in arom) else 1
+            bonds.append((index[a], index[b], order))
+    pos = np.stack([residue.atoms[n] for n in names])
+    nums = np.asarray([residue.elements.get(n, 6) for n in names])
+    return Molecule(nums, pos, bonds, np.zeros(len(names), dtype=int), name=f"{residue.chain}{residue.seq}{residue.name}")
+
+
+def count_contacts(structure: ProteinStructure, max_dist: float = 5.0):
+    """Per-residue count of distinct non-neighboring residues with any atom
+    within max_dist of the residue's side-chain atoms (burial measure,
+    reference datasets/pdb.py:30-117)."""
+    all_pos, all_res = [], []
+    for ri, r in enumerate(structure.residues):
+        for name, xyz in r.atoms.items():
+            all_pos.append(xyz)
+            all_res.append(ri)
+    all_pos = np.stack(all_pos)
+    all_res = np.asarray(all_res)
+    tree = cKDTree(all_pos)
+    counts = np.zeros(len(structure.residues), dtype=int)
+    backbone = {"N", "CA", "C", "O"}
+    for ri, r in enumerate(structure.residues):
+        side = [xyz for name, xyz in r.atoms.items() if name not in backbone]
+        if not side:
+            continue
+        partners = set()
+        for xyz in side:
+            for k in tree.query_ball_point(xyz, max_dist):
+                rj = all_res[k]
+                if abs(rj - ri) > 1:
+                    partners.add(rj)
+        counts[ri] = len(partners)
+    return counts
+
+
+class PDBSidechainDataset:
+    """Pseudo-ligand complexes from buried side chains of PDB structures."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        cache_path: Optional[str] = None,
+        min_contacts: int = 5,
+        max_dist: float = 5.0,
+        buffer_residue_num: int = 10,
+        limit_structures: int = 0,
+        max_complexes_per_structure: int = 5,
+        seed: int = 0,
+        c_alpha_max_neighbors: int = 24,
+    ):
+        self.complexes: List[HostComplex] = []
+        self.mols: Dict[str, Molecule] = {}
+        rng = np.random.RandomState(seed)
+        files = sorted(f for f in os.listdir(data_dir) if f.endswith(".pdb"))
+        if limit_structures:
+            files = files[:limit_structures]
+        for f in files:
+            try:
+                structure = parse_pdb(os.path.join(data_dir, f))
+                contacts = count_contacts(structure, max_dist)
+                candidates = [i for i, c in enumerate(contacts) if c >= min_contacts
+                              and structure.residues[i].name in SIDECHAIN_BONDS]
+                rng.shuffle(candidates)
+                for i in candidates[:max_complexes_per_structure]:
+                    hc = self._make_complex(structure, i, buffer_residue_num, f[:-4], c_alpha_max_neighbors)
+                    if hc is not None:
+                        self.complexes.append(hc)
+            except Exception as e:
+                print(f"pdb_sidechain: skipping {f}: {type(e).__name__}: {e}")
+        self.names = [hc.name for hc in self.complexes]
+        self.by_name = {hc.name: hc for hc in self.complexes}
+
+    def _make_complex(self, structure, res_idx, buffer_n, struct_name, k):
+        from .featurize import get_transformation_mask
+        from .mol_io import ProteinStructure
+
+        residue = structure.residues[res_idx]
+        mol = sidechain_molecule(residue)
+        if mol is None:
+            return None
+        # delete a residue window around the pseudo-ligand (reference :274-331)
+        keep = [r for j, r in enumerate(structure.residues) if abs(j - res_idx) > buffer_n]
+        if len(keep) < 16:
+            return None
+        sub = ProteinStructure(keep)
+        rec_f, rec_pos, rec_nbr, rec_nbr_mask, lm, _ = featurize_receptor(sub, c_alpha_max_neighbors=k)
+        center = rec_pos.mean(axis=0)
+
+        n = mol.num_atoms
+        feats = np.zeros((n, 16), dtype=np.int64)
+        for i in range(n):
+            feats[i, 0] = vocab.safe_index(vocab.ATOMIC_NUMS, int(mol.atomic_nums[i]))
+        src, dst, attr = [], [], []
+        onehot = {1: 0, 2: 1, 3: 2, 4: 3}
+        for i, j, o in mol.bonds:
+            for a, b in ((i, j), (j, i)):
+                src.append(a)
+                dst.append(b)
+                v = np.zeros(4, dtype=np.float32)
+                v[onehot.get(o, 0)] = 1
+                attr.append(v)
+        tor_src, tor_dst, mask_rotate = get_transformation_mask(n, mol.bonds)
+        name = f"{struct_name}_{mol.name}"
+        self.mols[name] = mol
+        return HostComplex(
+            name=name,
+            lig_f=feats,
+            lig_pos=(mol.pos - center).astype(np.float32),
+            lig_edge_src=np.asarray(src, dtype=np.int32),
+            lig_edge_dst=np.asarray(dst, dtype=np.int32),
+            lig_edge_attr=np.asarray(attr, dtype=np.float32).reshape(-1, 4),
+            tor_src=tor_src,
+            tor_dst=tor_dst,
+            mask_rotate=mask_rotate,
+            rec_f=rec_f,
+            rec_lm=lm,
+            rec_pos=(rec_pos - center).astype(np.float32),
+            rec_nbr=rec_nbr,
+            rec_nbr_mask=rec_nbr_mask,
+            orig_center=center.astype(np.float32),
+            orig_lig_pos=(mol.pos - center).astype(np.float32),
+        )
+
+    def __len__(self):
+        return len(self.complexes)
+
+    def get(self, idx: int):
+        return self.complexes[idx % len(self.complexes)]
+
+    def get_by_name(self, name: str):
+        return self.by_name[name]
