@@ -50,7 +50,7 @@ def main():
 
     cfg = ScoreModelConfig(lm_embedding_dim=0)
     model = TensorProductScoreModel(cfg)
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     sampler_cfg = SamplerConfig(inference_steps=steps)
 
     key = jax.random.PRNGKey(0)

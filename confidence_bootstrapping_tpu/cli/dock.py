@@ -56,7 +56,7 @@ def load_or_init_model(model_dir, ckpt, example_batch, default_cfg=None):
     else:
         cfg = default_cfg or ScoreModelConfig()
     model = TensorProductScoreModel(cfg)
-    variables = model.init(jax.random.PRNGKey(0), example_batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example_batch)
     if model_dir and checkpoints.has_checkpoint(model_dir, ckpt):
         variables = checkpoints.load_params(os.path.join(model_dir, f"{ckpt}.msgpack"), variables)
         print(f"loaded weights from {model_dir}/{ckpt}.msgpack")

@@ -102,7 +102,7 @@ def main(argv=None):
     rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
     example = train_ds.epoch_batches(args.batch_size, np.random.RandomState(0))[0]
-    variables = model.init(jax.random.PRNGKey(0), example)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
 
     state = train_loop.init_train_state(variables, tcfg)
     if args.restart_dir and checkpoints.has_checkpoint(args.restart_dir):

@@ -96,6 +96,19 @@ class SamplerConfig:
     pocket_knowledge: bool = False
     pocket_cutoff: float = 7.0
     initial_noise_std_proportion: float = 1.0
+    # SVGD particle coupling (reference sampling.py:169-218); enabled when
+    # svgd_weight_log_0/1 are set
+    svgd_weight_log_0: Optional[float] = None
+    svgd_weight_log_1: Optional[float] = None
+    svgd_repulsive_weight_log_0: Optional[float] = None
+    svgd_repulsive_weight_log_1: Optional[float] = None
+    svgd_kernel_size_log_0: Optional[float] = None
+    svgd_kernel_size_log_1: Optional[float] = None
+    svgd_langevin_weight_log_0: Optional[float] = None
+    svgd_langevin_weight_log_1: Optional[float] = None
+    svgd_rot_log_rel_weight: float = 0.0
+    svgd_tor_log_rel_weight: float = 0.0
+    svgd_use_x0: bool = False
 
 
 @dataclass(frozen=True)

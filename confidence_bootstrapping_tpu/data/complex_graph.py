@@ -101,6 +101,9 @@ class ComplexBatch:
     # bookkeeping
     orig_center: jnp.ndarray  # f32 [B, 3] original complex center (host frame)
 
+    # dihedral tuples (c, a, b, d) per torsion slot, for SVGD / analysis
+    tor_dihedral: Optional[jnp.ndarray] = None  # int32 [B, R, 4]
+
     # receptor all-atom fields (confidence model); zero-size when unused
     atom_f: Optional[jnp.ndarray] = None  # int32 [B, A, 4]
     atom_pos: Optional[jnp.ndarray] = None  # f32 [B, A, 3]
@@ -187,6 +190,18 @@ def pad_complex(hc: HostComplex, bucket: Bucket, lm_dim: int = 1280) -> dict:
         t_tor=np.zeros(()),
         orig_center=hc.orig_center.astype(np.float32),
     )
+    # dihedral tuples (c, a, b, d) for each rotatable edge, from bond adjacency
+    dih = np.zeros((R, 4), dtype=np.int32)
+    if r > 0:
+        adj: dict = {}
+        for s_, d_ in zip(hc.lig_edge_src, hc.lig_edge_dst):
+            adj.setdefault(int(s_), []).append(int(d_))
+        for k in range(r):
+            a, b = int(hc.tor_src[k]), int(hc.tor_dst[k])
+            c = next((x for x in adj.get(a, []) if x != b), a)
+            d = next((x for x in adj.get(b, []) if x != a), b)
+            dih[k] = [c, a, b, d]
+    out["tor_dihedral"] = dih
     if bucket.A and hc.atom_f is not None:
         a = len(hc.atom_f)
         A, KA = bucket.A, bucket.KA

@@ -181,6 +181,64 @@ class TensorProductScoreModel(nn.Module):
                 self.tor_final_layer = TorFinalMLP(ns, c.dropout)
 
     # ------------------------------------------------------------------ #
+    # ligand-only torsional mode (reference score_model.py:451-482,
+    # activated by --dataset torsional pretraining)
+    # ------------------------------------------------------------------ #
+
+    def torsional_forward(self, batch: ComplexBatch, deterministic: bool = True, use_running_average: bool = True):
+        c = self.cfg
+        ns = c.ns
+        B, L, _ = batch.lig_pos.shape
+        det, ura = deterministic, use_running_average
+        tor_sigma = t_to_sigma(batch.t_tor, batch.t_tor, batch.t_tor, c.sigma)[2]
+        sigma_emb = self.timestep_emb(batch.t_tr)
+
+        lig_attr = self.lig_node_embedding(
+            batch.lig_f, jnp.broadcast_to(sigma_emb[:, None, :], (B, L, sigma_emb.shape[-1]))
+        )
+        g = self._lig_graph(batch, sigma_emb, det)
+        for layer in self.lig_emb_layers:
+            s, n = self._lig_conv(layer, 0, lig_attr, g, batch, det)
+            lig_attr = layer.finalize(lig_attr, s, n, batch.lig_mask, ura)
+        # widen to the torsion head's input irreps (ladder only appends blocks)
+        from .layers import pad_residual
+
+        lig_attr = pad_residual(lig_attr, Irreps(self.final_irreps).dim)
+
+        R = batch.tor_src.shape[1]
+        pu = jnp.take_along_axis(batch.lig_pos, batch.tor_src[..., None], axis=1)
+        pv = jnp.take_along_axis(batch.lig_pos, batch.tor_dst[..., None], axis=1)
+        bond_pos = (pu + pv) / 2
+        bond_vec = pv - pu
+        tb_mask, tb_d = radius_mask(bond_pos, batch.lig_pos, c.lig_max_radius, batch.tor_mask, batch.lig_mask)
+        tb_vec = batch.lig_pos[:, None, :, :] - bond_pos[:, :, None, :]
+        tb_sh0 = spherical_harmonics(c.sh_lmax, tb_vec)
+        bond_sh2 = spherical_harmonics(2, bond_vec)[..., 4:]
+        tb_sh = self.final_tp_tor(tb_sh0, jnp.broadcast_to(bond_sh2[:, :, None, :], tb_sh0.shape[:-1] + (5,)))
+        tb_emb = self.final_edge_embedding(self.lig_distance_expansion(tb_d), deterministic=det)
+        tor_bond_attr = jnp.take_along_axis(lig_attr, batch.tor_src[..., None], axis=1) + jnp.take_along_axis(
+            lig_attr, batch.tor_dst[..., None], axis=1
+        )
+        eattr_t = jnp.concatenate(
+            [
+                tb_emb,
+                jnp.broadcast_to(lig_attr[:, None, :, :ns], tb_emb.shape[:-1] + (ns,)),
+                jnp.broadcast_to(tor_bond_attr[:, :, None, :ns], tb_emb.shape[:-1] + (ns,)),
+            ],
+            axis=-1,
+        )
+        sender_t = jnp.broadcast_to(lig_attr[:, None, :, :], tb_emb.shape[:-1] + (lig_attr.shape[-1],))
+        msg_t = self.tor_bond_conv.messages(0, sender_t, tb_sh, eattr_t, tb_mask, deterministic=det)
+        cnt_t = jnp.sum(tb_mask, axis=2).astype(msg_t.dtype)
+        tor_feat = self.tor_bond_conv.finalize(
+            jnp.zeros((B, R, msg_t.shape[-1])), jnp.sum(msg_t, axis=2), cnt_t, batch.tor_mask, ura
+        )
+        tor_pred = self.tor_final_layer(tor_feat, det)[..., 0]
+        if c.scale_by_sigma:
+            tor_pred = tor_pred * jnp.sqrt(torus.score_norm(tor_sigma))[:, None]
+        return jnp.where(batch.tor_mask, tor_pred, 0.0)
+
+    # ------------------------------------------------------------------ #
     # receptor embedding (t-independent; cacheable across diffusion steps)
     # ------------------------------------------------------------------ #
 

@@ -158,6 +158,15 @@ def reverse_diffusion_step(
         rot_perturb = rot_g**2 * dt_rot * (lam_rot + t1 * p1 / 2) * rot_score + rot_g * jnp.sqrt(dt_rot * (1 + p1)) * rot_z
         tor_perturb = tor_g**2 * dt_tor * (lam_tor + t2 * p2 / 2) * tor_score + tor_g * jnp.sqrt(dt_tor * (1 + p2)) * tor_z
 
+    if cfg.svgd_weight_log_0 is not None and cfg.svgd_weight_log_1 is not None and not cfg.ode:
+        t_frac = step_idx.astype(jnp.float32) / cfg.inference_steps
+        tr_perturb, rot_perturb, tor_perturb = _svgd_perturbations(
+            batch, cfg, t_frac,
+            tr_score, rot_score, tor_score, tr_z, rot_z, tor_z,
+            tr_g, rot_g, tor_g, dt_tr, dt_rot, dt_tor,
+            sched, step_idx, model_cfg,
+        )
+
     if model_cfg.no_torsion:
         tor_perturb = None
 
@@ -173,6 +182,95 @@ def reverse_diffusion_step(
         batch.tor_mask,
     )
     return batch.replace(lig_pos=new_pos)
+
+
+def _svgd_perturbations(
+    batch, cfg, t_frac, tr_score, rot_score, tor_score, tr_z, rot_z, tor_z,
+    tr_g, rot_g, tor_g, dt_tr, dt_rot, dt_tor, sched, step_idx, model_cfg,
+):
+    """SVGD particle coupling across the pose batch (reference
+    sampling.py:169-218): pairwise rigid (Kabsch) and torsion-angle
+    differences drive a kernelized repulsive term added to a tempered
+    Langevin update. All pairwise O(B^2) work stays on device (the reference
+    loops on CPU, utils/torsion.py:173-185)."""
+    from ..ops.geometry import rigid_transform_kabsch, matrix_to_axis_angle
+    from ..ops.torsion import get_torsion_angles
+
+    B = batch.batch_size
+
+    def interp(a, b):
+        if a is None or b is None:
+            return 1.0
+        return 10 ** (a * t_frac + b * (1 - t_frac))
+
+    svgd_weight = interp(cfg.svgd_weight_log_0, cfg.svgd_weight_log_1)
+    repulsive_w = interp(cfg.svgd_repulsive_weight_log_0, cfg.svgd_repulsive_weight_log_1)
+    kernel_size = interp(cfg.svgd_kernel_size_log_0, cfg.svgd_kernel_size_log_1)
+    langevin_w = interp(cfg.svgd_langevin_weight_log_0, cfg.svgd_langevin_weight_log_1)
+    rot_rel = 10 ** cfg.svgd_rot_log_rel_weight
+    tor_rel = 10 ** cfg.svgd_tor_log_rel_weight
+
+    pos = batch.lig_pos
+    if cfg.svgd_use_x0:
+        tr_adj = tr_g**2 * sched.t_tr[step_idx] * tr_score
+        rot_adj = rot_g**2 * sched.t_rot[step_idx] * rot_score
+        tor_adj = tor_g**2 * sched.t_tor[step_idx] * tor_score if not model_cfg.no_torsion else None
+        pos = modify_conformer(
+            pos, batch.lig_mask, tr_adj, rot_adj, tor_adj,
+            batch.tor_src, batch.tor_dst, batch.mask_rotate, batch.tor_mask,
+        )
+
+    mask = batch.lig_mask[0]
+
+    # pairwise centroid + Kabsch rotation-vector differences
+    def pair_diff(pi, pj):
+        m = mask.astype(pi.dtype)[:, None]
+        ci = jnp.sum(pi * m, 0) / jnp.maximum(m.sum(), 1.0)
+        cj = jnp.sum(pj * m, 0) / jnp.maximum(m.sum(), 1.0)
+        R, _ = rigid_transform_kabsch(pi[None], pj[None], mask[None])
+        return cj - ci, matrix_to_axis_angle(R)[0]
+
+    tr_diff, rot_diff = jax.vmap(lambda pi: jax.vmap(lambda pj: pair_diff(pi, pj))(pos))(pos)
+    tr_mat = jnp.sum(tr_diff**2, -1, keepdims=True)
+    rot_mat = jnp.sum(rot_diff**2, -1, keepdims=True)
+
+    has_tor = bool(batch.tor_src.shape[1]) and not model_cfg.no_torsion and batch.tor_dihedral is not None
+    if has_tor:
+        tau = get_torsion_angles(batch.tor_dihedral[0], pos)
+        tau = jnp.where(batch.tor_mask, tau, 0.0)
+        tau_diff = tau[:, None, :] - tau[None, :, :]
+        tau_diff = jnp.mod(tau_diff + 3 * jnp.pi, 2 * jnp.pi) - jnp.pi
+        tor_mat = jnp.sum(tau_diff**2, -1, keepdims=True)
+    else:
+        tau_diff = jnp.zeros((B, B, batch.tor_src.shape[1]))
+        tor_mat = 0.0
+
+    total = tr_mat + rot_rel * rot_mat + tor_rel * tor_mat
+    med2 = jnp.median(total, axis=1, keepdims=True)
+    h = kernel_size * med2 / jnp.maximum(jnp.log(float(B)), 1.0) + 1e-9
+    k = jnp.exp(-total / h)
+
+    tr_rep = jnp.sum(2 / h * tr_diff * k, axis=1)
+    rot_rep = jnp.sum(2 / h * rot_rel * rot_diff * k, axis=1)
+
+    tr_perturb = (
+        0.5 * tr_g**2 * dt_tr * tr_score
+        + langevin_w * (0.5 * tr_g**2 * dt_tr * tr_score + tr_g * jnp.sqrt(dt_tr) * tr_z)
+        + svgd_weight * (tr_g**2 * dt_tr * (tr_score + repulsive_w * tr_rep / B))
+    )
+    rot_perturb = (
+        0.5 * rot_g**2 * dt_rot * rot_score
+        + langevin_w * (0.5 * rot_g**2 * dt_rot * rot_score + rot_g * jnp.sqrt(dt_rot) * rot_z)
+        + svgd_weight * (rot_g**2 * dt_rot * (rot_score + repulsive_w * rot_rep / B))
+    )
+    tor_perturb = (
+        0.5 * tor_g**2 * dt_tor * tor_score
+        + langevin_w * (0.5 * tor_g**2 * dt_tor * tor_score + tor_g * jnp.sqrt(dt_tor) * tor_z)
+    )
+    if has_tor:
+        tor_rep = jnp.sum(2 / h * tor_rel * tau_diff * k, axis=1)
+        tor_perturb = tor_perturb + svgd_weight * (tor_g**2 * dt_tor * (tor_score + repulsive_w * tor_rep / B))
+    return tr_perturb, rot_perturb, tor_perturb
 
 
 def sample(
