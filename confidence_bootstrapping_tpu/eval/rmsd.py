@@ -86,17 +86,21 @@ def symmetry_rmsd(
     """
     single = poses.ndim == 2
     P = poses[None] if single else poses
-    best = np.array([plain_rmsd(ref, p) for p in P])
     try:
-        for perm in graph_automorphisms(atomic_nums, bonds, max_automorphisms, timeout_s):
-            if (perm == np.arange(len(perm))).all():
-                continue
-            ref_p = ref[perm]
-            for k in range(len(P)):
-                r = plain_rmsd(ref_p, P[k])
-                if r < best[k]:
-                    best[k] = r
+        perms = [
+            p
+            for p in graph_automorphisms(atomic_nums, bonds, max_automorphisms, timeout_s)
+            if not (p == np.arange(len(p))).all()
+        ]
+        from ..native import min_perm_rmsd
+
+        best = min_perm_rmsd(
+            np.asarray(ref, dtype=np.float32),
+            np.asarray(P, dtype=np.float32),
+            np.asarray(perms, dtype=np.int32).reshape(len(perms), -1),
+        ).astype(np.float64)
     except Exception:
+        best = np.array([plain_rmsd(ref, p) for p in P])
         for k in range(len(P)):
             best[k] = min(best[k], hungarian_rmsd(ref, P[k], atomic_nums))
     return best[0] if single else best

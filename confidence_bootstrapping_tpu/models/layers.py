@@ -187,6 +187,44 @@ class TPConv(nn.Module):
             self.bn = BatchNormIrreps(self.out_irreps)
         self.out_dim = Irreps(self.out_irreps).dim
 
+    def conv_nbr(self, group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=True):
+        """Messages summed over the trailing neighbor axis: [..., K, *] ->
+        ([..., out_dim], counts [...]).
+
+        Uses the fused Pallas kernel (ops/pallas/tpconv.py) on TPU for
+        inference with lmax=1 ladder irreps and 2-layer weight MLPs; falls
+        back to the XLA path otherwise (training needs dropout + VJP).
+        sender_attr must be materialized to the full [..., K, D] shape.
+        """
+        import jax
+
+        from ..ops.pallas import tpconv as _tpconv
+
+        counts = jnp.sum(edge_mask, axis=-1).astype(jnp.float32)
+        use_fused = (
+            deterministic
+            and self.tp_weights_layers == 2
+            and str(Irreps(self.sh_irreps)) == "1x0e + 1x1o"
+            and _tpconv.ladder_spec(self.in_irreps, self.out_irreps) is not None
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+        )
+        if not use_fused:
+            msg = self.messages(group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=deterministic)
+            return jnp.sum(msg, axis=-2), counts
+
+        p = self.edge_mlps[group].variables["params"]
+        w1, b1 = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
+        w2, b2 = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
+        lead = sender_attr.shape[:-2]
+        K = sender_attr.shape[-2]
+        flat = lambda a: a.reshape((-1, K) + a.shape[len(lead) + 1 :])
+        out = _tpconv.fused_tpconv_nbr(
+            flat(edge_attr), flat(sender_attr), flat(edge_sh), flat(edge_mask),
+            w1, b1, w2, b2, self.in_irreps, self.out_irreps,
+        )
+        return out.reshape(lead + (out.shape[-1],)), counts
+
     def messages(self, group, sender_attr, edge_sh, edge_attr, edge_mask, edge_weight=None, deterministic=True):
         """Per-edge messages for one edge group; masked entries are zero.
 

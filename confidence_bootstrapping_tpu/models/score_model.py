@@ -261,9 +261,8 @@ class TensorProductScoreModel(nn.Module):
             eattr = jnp.concatenate(
                 [edge_emb, jnp.broadcast_to(scal[:, :, None, :], sender_scal.shape), sender_scal], axis=-1
             )
-            msg = layer.messages(0, sender, edge_sh, eattr, emask, deterministic=deterministic)
-            cnt = jnp.sum(emask, axis=-1).astype(msg.dtype)
-            rec_attr = layer.finalize(rec_attr, jnp.sum(msg, axis=2), cnt, batch.rec_mask, use_running_average)
+            s_, cnt = layer.conv_nbr(0, sender, edge_sh, eattr, emask, deterministic=deterministic)
+            rec_attr = layer.finalize(rec_attr, s_, cnt, batch.rec_mask, use_running_average)
 
         return RecCache(rec_attr=rec_attr, rec_edge_emb=edge_emb, rec_edge_sh=edge_sh, rec_edge_mask=emask)
 
@@ -320,9 +319,8 @@ class TensorProductScoreModel(nn.Module):
             ],
             axis=-1,
         )
-        msg_pair = layer.messages(group, lig_attr[:, None, :, :], g["pair_sh"], eattr, g["pair_mask"], deterministic=deterministic)
-        sum_pair = jnp.sum(msg_pair, axis=2)
-        cnt_pair = jnp.sum(g["pair_mask"], axis=2).astype(sum_pair.dtype)
+        sender_pair = jnp.broadcast_to(lig_attr[:, None, :, :], eattr.shape[:-1] + (lig_attr.shape[-1],))
+        sum_pair, cnt_pair = layer.conv_nbr(group, sender_pair, g["pair_sh"], eattr, g["pair_mask"], deterministic=deterministic)
 
         # bond edges: sender = dst, receiver = src
         src, dst = batch.lig_edge_src, batch.lig_edge_dst
@@ -427,9 +425,9 @@ class TensorProductScoreModel(nn.Module):
                 [cr_emb, jnp.broadcast_to(lig_scal[:, :, None, :], cr_emb.shape[:-1] + (ns,)), cr_sender_scal],
                 axis=-1,
             )
-            msg_lr = layer.messages(g_lr, cr_sender, cr_sh, eattr_lr, cr_mask, deterministic=det)
-            lig_sum = lig_sum + jnp.sum(msg_lr, axis=2)
-            lig_cnt = lig_cnt + jnp.sum(cr_mask, axis=2).astype(lig_sum.dtype)
+            s_lr, c_lr2 = layer.conv_nbr(g_lr, cr_sender, cr_sh, eattr_lr, cr_mask, deterministic=det)
+            lig_sum = lig_sum + s_lr
+            lig_cnt = lig_cnt + c_lr2
 
             if not last:
                 # receptor <- receptor
@@ -442,9 +440,7 @@ class TensorProductScoreModel(nn.Module):
                     ],
                     axis=-1,
                 )
-                msg_rec = layer.messages(g_rec, sender, rec_cache.rec_edge_sh, eattr_rec, rec_cache.rec_edge_mask, deterministic=det)
-                rec_sum = jnp.sum(msg_rec, axis=2)
-                rec_cnt = jnp.sum(rec_cache.rec_edge_mask, axis=-1).astype(rec_sum.dtype)
+                rec_sum, rec_cnt = layer.conv_nbr(g_rec, sender, rec_cache.rec_edge_sh, eattr_rec, rec_cache.rec_edge_mask, deterministic=det)
 
                 # receptor <- ligand (reversed cross edges)
                 eattr_rl = jnp.concatenate(

@@ -356,13 +356,22 @@ class WeightedTensorProduct:
                 cg = jnp.asarray(
                     clebsch_gordan(ir_in.l, ir_sh.l, ir_out.l) * np.sqrt(ir_out.dim), dtype=x.dtype
                 )
-                # [..., mul_in, 2l3+1]
-                contribs.append(jnp.einsum("...ua,...b,abc->...uc", in_blocks[ii], sh_blocks[si], cg))
+                # Per-edge weights make every contraction elementwise over the
+                # edge axis — keep them on the VPU as broadcast multiply-reduce
+                # (a dot_general here lowers to heavily-padded batched tiny
+                # matmuls on the MXU: ~10x slower on TPU).
+                # T[..., a, c] = sum_b sh_b cg[a, b, c]
+                T = jnp.sum(sh_blocks[si][..., None, :, None] * cg[None, ...], axis=-2)
+                # contrib[..., u, c] = sum_a x[..., u, a] T[..., a, c]
+                contribs.append(
+                    jnp.sum(in_blocks[ii][..., :, :, None] * T[..., None, :, :], axis=-2)
+                )
             stacked = jnp.concatenate(contribs, axis=-2)  # [..., fan_in, 2l3+1]
             n = g.w_shape[0] * g.w_shape[1]
             w = weight[..., w_ofs : w_ofs + n].reshape(weight.shape[:-1] + g.w_shape) / np.sqrt(g.w_shape[0])
             w_ofs += n
-            out = jnp.einsum("...uc,...uv->...vc", stacked, w)
+            # out[..., v, c] = sum_u stacked[..., u, c] w[..., u, v]
+            out = jnp.sum(stacked[..., :, None, :] * w[..., :, :, None], axis=-3)
             out_blocks[g.out_index] = out.reshape(out.shape[:-2] + (mul_out * ir_out.dim,))
 
         outs = []

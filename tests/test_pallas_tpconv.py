@@ -1,0 +1,70 @@
+"""Fused Pallas TP-conv kernel vs the XLA reference path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from confidence_bootstrapping_tpu.ops.irreps import WeightedTensorProduct
+from confidence_bootstrapping_tpu.ops.pallas import tpconv
+
+
+def _xla_reference(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_out):
+    tp = WeightedTensorProduct(irreps_in, "1x0e + 1x1o", irreps_out)
+    h = jax.nn.relu(edge_attr @ w1 + b1)
+    w = h @ w2 + b2
+    msg = tp(sender, sh, w)
+    msg = jnp.where(mask[..., None], msg, 0.0)
+    return jnp.sum(msg, axis=1)
+
+
+def test_fused_tpconv_matches_xla():
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    spec = tpconv.ladder_spec(irreps, irreps)
+    assert spec is not None
+    M, K, Fe, H = 24, 6, 24, 24
+    rng = np.random.RandomState(0)
+    edge_attr = jnp.asarray(rng.randn(M, K, Fe).astype(np.float32))
+    sender = jnp.asarray(rng.randn(M, K, spec.in_dim).astype(np.float32))
+    shv = rng.randn(M, K, 3).astype(np.float32)
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    sh = spherical_harmonics(1, jnp.asarray(shv))
+    mask = jnp.asarray(rng.rand(M, K) > 0.3)
+    w1 = jnp.asarray(rng.randn(Fe, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, spec.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(spec.weight_numel).astype(np.float32) * 0.1)
+
+    want = _xla_reference(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, irreps)
+    got = tpconv.fused_tpconv_nbr(
+        edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, irreps,
+        tile_m=8, interpret=True, use_bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_tpconv_flagship_shapes():
+    """The pretrained score architecture's irreps (ns=32, nv=6)."""
+    irreps = "32x0e + 6x1o + 6x1e + 6x0o"
+    spec = tpconv.ladder_spec(irreps, irreps)
+    assert spec.weight_numel == 38 * 32 + 44 * 6 + 18 * 6 + 12 * 6
+    M, K = 16, 4
+    rng = np.random.RandomState(1)
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    edge_attr = jnp.asarray(rng.randn(M, K, 96).astype(np.float32))
+    sender = jnp.asarray(rng.randn(M, K, spec.in_dim).astype(np.float32))
+    sh = spherical_harmonics(1, jnp.asarray(rng.randn(M, K, 3).astype(np.float32)))
+    mask = jnp.asarray(np.ones((M, K), bool))
+    w1 = jnp.asarray(rng.randn(96, 96).astype(np.float32) * 0.1)
+    b1 = jnp.zeros(96)
+    w2 = jnp.asarray(rng.randn(96, spec.weight_numel).astype(np.float32) * 0.1)
+    b2 = jnp.zeros(spec.weight_numel)
+    want = _xla_reference(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, irreps)
+    got = tpconv.fused_tpconv_nbr(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, irreps, tile_m=8, interpret=True, use_bf16=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=3e-4)
+
+
+def test_ladder_spec_rejects_non_ladder():
+    assert tpconv.ladder_spec("4x2e + 3x1o", "4x0e") is None
+    assert tpconv.ladder_spec("4x0e + 3x1o", "4x0e + 3x1o + 3x1e") is not None
