@@ -1,0 +1,140 @@
+"""Confidence-model training CLI (reference ``confidence/confidence_train.py``).
+
+Generates (or loads) score-model rollout caches over the training complexes,
+then trains the all-atom pose classifier with BCE (or RMSD regression),
+balanced sampling, the 2-4 A ambiguous-band exclusion, and ROC-AUC/accuracy
+validation with best-checkpoint selection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from ..config import TrainConfig, save_yaml
+from ..confidence import dataset as cdataset
+from ..confidence import train as ctrain
+from ..bootstrapping.finetune import CBTarget
+from ..data.complex_graph import replicate_complex
+from ..data.dataset import ComplexDataset, discover_dir
+from ..models.factory import confidence_model_config, get_model
+from ..train import checkpoints
+from .dock import load_or_init_model
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--split_train", default=None)
+    p.add_argument("--split_val", default=None)
+    p.add_argument("--cache_path", default="cache")
+    p.add_argument("--workdir", default="workdir/confidence")
+    p.add_argument("--original_model_dir", required=True, help="frozen score model for pose generation")
+    p.add_argument("--original_ckpt", default="last_model")
+    p.add_argument("--samples_per_complex", type=int, default=4)
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--cache_ids", default="1", help="comma-separated generation cache ids to combine")
+    p.add_argument("--cache_creation_id", default=None, help="generate this cache id then exit")
+    p.add_argument("--rmsd_classification_cutoff", type=float, default=2.0)
+    p.add_argument("--rmsd_classification_upper", type=float, default=4.0)
+    p.add_argument("--rmsd_prediction", action="store_true")
+    p.add_argument("--no_balance", action="store_true")
+    p.add_argument("--all_atoms", action="store_true", default=True)
+    p.add_argument("--ns", type=int, default=24)
+    p.add_argument("--nv", type=int, default=6)
+    p.add_argument("--n_epochs", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--batches_per_epoch", type=int, default=100)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def build_targets(args, names_file, all_atoms):
+    names = open(names_file).read().split() if names_file else None
+    entries = discover_dir(args.data_dir, names)
+    if args.limit_complexes:
+        entries = entries[: args.limit_complexes]
+    ds = ComplexDataset(entries, cache_dir=args.cache_path, all_atoms=all_atoms)
+    lm = ds.lm_dim()
+    return [CBTarget(ds.complexes[i], ds.mols[ds.complexes[i].name], lm_dim=lm) for i in range(len(ds.complexes))]
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    os.makedirs(args.workdir, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+
+    # targets with all-atom graphs (the confidence model's view)
+    targets = build_targets(args, args.split_train, all_atoms=True)
+    val_targets = build_targets(args, args.split_val, all_atoms=True) if args.split_val else targets[: max(1, len(targets) // 10)]
+    print(f"confidence training: {len(targets)} train / {len(val_targets)} val complexes")
+
+    # frozen score model (coarse-grained view for generation)
+    gen_targets = build_targets(args, args.split_train, all_atoms=False)
+    example = replicate_complex(gen_targets[0].padded, 1)
+    score_model, score_cfg, score_vars = load_or_init_model(args.original_model_dir, args.original_ckpt, example)
+
+    gen_dir = os.path.join(args.cache_path, "confidence_generation")
+    if args.cache_creation_id is not None:
+        key, k = jax.random.split(key)
+        cdataset.generate_filtering_cache(
+            score_model, score_vars, gen_targets, k, score_cfg,
+            args.samples_per_complex, args.inference_steps, gen_dir, args.cache_creation_id,
+        )
+        print(f"generated cache id {args.cache_creation_id}")
+        return
+
+    caches = []
+    for cid in args.cache_ids.split(","):
+        key, k = jax.random.split(key)
+        caches.append(
+            cdataset.generate_filtering_cache(
+                score_model, score_vars, gen_targets, k, score_cfg,
+                args.samples_per_complex, args.inference_steps, gen_dir, cid.strip(),
+            )
+        )
+    cache = cdataset.combine_caches(caches)
+
+    cfg = confidence_model_config(ns=args.ns, nv=args.nv, all_atoms=args.all_atoms)
+    model = get_model(cfg)
+    example_c = replicate_complex(targets[0].padded, args.batch_size).set_time(0.0, 0.0, 0.0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example_c)
+
+    ds = cdataset.FilteringDataset(
+        targets, cache, args.rmsd_classification_cutoff,
+        None if args.rmsd_prediction else args.rmsd_classification_upper,
+        balance=not args.no_balance, rmsd_prediction=args.rmsd_prediction,
+    )
+    val_ds = cdataset.FilteringDataset(
+        val_targets, cache, args.rmsd_classification_cutoff, None, balance=False,
+        rmsd_prediction=args.rmsd_prediction,
+    )
+    print("train set:", ds.statistics())
+
+    tcfg = TrainConfig(lr=args.lr, batch_size=args.batch_size)
+    state, history = ctrain.train_confidence(
+        model, variables, ds, cache, tcfg, args.n_epochs, args.batches_per_epoch,
+        key, val_dataset=val_ds, val_cache=cache, rmsd_prediction=args.rmsd_prediction,
+    )
+
+    save_yaml(cfg, os.path.join(args.workdir, checkpoints.CONFIG_NAME))
+    v = dict(variables)
+    v["params"] = state.params
+    v["batch_stats"] = state.batch_stats
+    checkpoints.save_params(os.path.join(args.workdir, "last_model.msgpack"), v)
+    v["params"] = state.ema_params
+    checkpoints.save_params(os.path.join(args.workdir, "ema_model.msgpack"), v)
+    with open(os.path.join(args.workdir, "history.pkl"), "wb") as f:
+        pickle.dump(history, f)
+    print("saved confidence model to", args.workdir)
+    return state, history
+
+
+if __name__ == "__main__":
+    main()

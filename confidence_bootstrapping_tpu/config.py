@@ -56,6 +56,7 @@ class ScoreModelConfig:
     tp_weights_layers: int = 2
     fixed_center_conv: bool = True
     depthwise_convolution: bool = False
+    sidechain_pred: bool = False
 
     # confidence-mode heads (reference score_model.py:206-233)
     confidence_mode: bool = False

@@ -104,6 +104,10 @@ class ComplexBatch:
     # dihedral tuples (c, a, b, d) per torsion slot, for SVGD / analysis
     tor_dihedral: Optional[jnp.ndarray] = None  # int32 [B, R, 4]
 
+    # side-chain regression targets: chi1-4 (normalized, NaN if undefined)
+    # + flattened CA->N / CA->C unit vectors (reference side_chain_vecs)
+    rec_sidechain: Optional[jnp.ndarray] = None  # f32 [B, N, 10]
+
     # receptor all-atom fields (confidence model); zero-size when unused
     atom_f: Optional[jnp.ndarray] = None  # int32 [B, A, 4]
     atom_pos: Optional[jnp.ndarray] = None  # f32 [B, A, 3]
@@ -142,6 +146,7 @@ class HostComplex(NamedTuple):
     rec_nbr_mask: np.ndarray  # [n, KR]
     orig_center: np.ndarray  # [3]
     orig_lig_pos: np.ndarray  # [l, 3] ground-truth pose(s), centered frame
+    rec_sidechain: Optional[np.ndarray] = None  # [n, 10] chi + backbone vecs
     atom_f: Optional[np.ndarray] = None  # [a, 4]
     atom_pos: Optional[np.ndarray] = None  # [a, 3]
     atom_nbr: Optional[np.ndarray] = None
@@ -190,6 +195,8 @@ def pad_complex(hc: HostComplex, bucket: Bucket, lm_dim: int = 1280) -> dict:
         t_tor=np.zeros(()),
         orig_center=hc.orig_center.astype(np.float32),
     )
+    if hc.rec_sidechain is not None:
+        out["rec_sidechain"] = pad(hc.rec_sidechain.astype(np.float32), (N, 10))
     # dihedral tuples (c, a, b, d) for each rotatable edge, from bond adjacency
     dih = np.zeros((R, 4), dtype=np.int32)
     if r > 0:

@@ -279,6 +279,7 @@ def build_host_complex(
     all_atoms: bool = False,
     atom_radius: float = 5.0,
     atom_max_neighbors: int = 8,
+    with_sidechains: bool = False,
 ) -> HostComplex:
     """Featurize one complex and center it at the receptor centroid
     (the reference centers all graphs at the receptor center,
@@ -290,6 +291,10 @@ def build_host_complex(
     )
     center = rec_pos.mean(axis=0)
     atom_kwargs = {}
+    if with_sidechains:
+        from .parse_chi import side_chain_vecs
+
+        atom_kwargs["rec_sidechain"] = side_chain_vecs(residues[: len(rec_f)])
     if all_atoms:
         atom_f, atom_pos, atom_nbr, atom_nbr_mask, atom_res = featurize_receptor_atoms(
             residues, atom_radius, atom_max_neighbors

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.irreps import Irreps, WeightedTensorProduct
+from ..ops.irreps import Irreps, WeightedTensorProduct, linear_apply, linear_weight_shapes
 
 
 class FCBlock(nn.Module):
@@ -147,6 +147,25 @@ class BatchNormIrreps(nn.Module):
             if n_field:
                 ra_norm.value = (1 - mom) * ra_norm.value + mom * jnp.concatenate(new_norms)
         return jnp.concatenate(out, axis=-1)
+
+
+class LinearIrreps(nn.Module):
+    """Equivariant linear layer (e3nn o3.Linear capability)."""
+
+    irreps_in: str
+    irreps_out: str
+
+    @nn.compact
+    def __call__(self, x):
+        shapes = linear_weight_shapes(self.irreps_in, self.irreps_out)
+        weights = {
+            k: self.param(k, nn.initializers.normal(1.0), shape) for k, shape in shapes
+        }
+        biases = {}
+        for oi, (mo, iro) in enumerate(Irreps(self.irreps_out)):
+            if iro.l == 0:
+                biases[f"b_{oi}"] = self.param(f"b_{oi}", nn.initializers.zeros, (mo,))
+        return linear_apply(self.irreps_in, self.irreps_out, x, weights, biases)
 
 
 def pad_residual(x, out_dim):

@@ -36,7 +36,7 @@ from ..ops import so3, torus
 from ..ops.graph_builders import gather_nodes, pairwise_dist, radius_mask, scatter_mean_to_nodes, topk_neighbors
 from ..ops.irreps import FullTensorProduct, Irreps, spherical_harmonics, spherical_harmonics_irreps
 from ..ops.schedules import get_timestep_embedding, t_to_sigma
-from .layers import AtomEncoder, FCBlock, GaussianSmearing, TPConv
+from .layers import AtomEncoder, FCBlock, GaussianSmearing, LinearIrreps, TPConv
 
 
 def get_irrep_seq(ns, nv, use_second_order_repr, reduce_pseudoscalars):
@@ -72,6 +72,7 @@ class ScoreOutput(NamedTuple):
     tor_pred: Any  # [B, R] (masked by tor_mask)
     confidence: Any = None  # [B] or [B, K] in confidence mode
     atom_confidence: Any = None
+    sidechain_pred: Any = None  # [B, N, 10] chi + backbone vec predictions
 
 
 class TensorProductScoreModel(nn.Module):
@@ -137,6 +138,9 @@ class TensorProductScoreModel(nn.Module):
         self.conv_layers = convs
         final_irreps = seq[min(P + C, 3)]
         self.final_irreps = final_irreps
+        if c.sidechain_pred:
+            # even+odd head summed (reference score_model.py:198-204, 422-427)
+            self.sidechain_predictor = LinearIrreps(final_irreps, "4x0e + 2x1e + 4x0o + 2x1o")
 
         if c.confidence_mode:
             scalar_in = ns + (nv if c.reduce_pseudoscalars else ns) if C + P >= 3 else ns
@@ -512,8 +516,15 @@ class TensorProductScoreModel(nn.Module):
             tr_pred = tr_pred / tr_sigma[:, None]
             rot_pred = rot_pred * so3.score_norm(rot_sigma)[:, None]
 
+        sidechain_pred = None
+        if c.sidechain_pred:
+            from .layers import pad_residual
+
+            sp = self.sidechain_predictor(pad_residual(rec_attr, Irreps(self.final_irreps).dim))
+            sidechain_pred = sp[..., :10] + sp[..., 10:]  # sum even and odd parts
+
         if c.no_torsion:
-            return ScoreOutput(tr_pred, rot_pred, jnp.zeros((B, batch.tor_src.shape[1])))
+            return ScoreOutput(tr_pred, rot_pred, jnp.zeros((B, batch.tor_src.shape[1])), sidechain_pred=sidechain_pred)
 
         # ---- torsion head (reference build_bond_conv_graph + tor_bond_conv)
         R = batch.tor_src.shape[1]
@@ -552,7 +563,7 @@ class TensorProductScoreModel(nn.Module):
             tor_pred = tor_pred * jnp.sqrt(torus.score_norm(tor_sigma))[:, None]
         tor_pred = jnp.where(batch.tor_mask, tor_pred, 0.0)
 
-        return ScoreOutput(tr_pred, rot_pred, tor_pred)
+        return ScoreOutput(tr_pred, rot_pred, tor_pred, sidechain_pred=sidechain_pred)
 
 
 class FinalNormMLP(nn.Module):

@@ -22,7 +22,7 @@ reference implementation (see tests/test_pallas_tpconv.py).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -206,7 +206,7 @@ def _tp_contributions(x0e, x1o, x1e, x0o, sh1, spec: LadderSpec):
     return parts
 
 
-def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, spec: LadderSpec, K: int, interpret_dtype, ofs_pads):
+def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, spec: LadderSpec, K: int, interpret_dtype, ofs_pads, debug_stage=0):
     TM = out_ref.shape[0]
     T = TM * K
     attr = attr_ref[:].reshape(T, attr_ref.shape[-1])
@@ -232,16 +232,32 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     x0o = xin[:, ofs : ofs + i0o] if i0o else None
     sh1 = [sh[:, 1 + b : 2 + b] for b in range(3)]
 
+    if debug_stage == 1:  # MLP-only cost probe: touch all weight columns
+        acc = 0.0
+        for g, (fan, mul) in enumerate(zip(spec.fans, spec.out_muls)):
+            n = mul * FAN_PAD
+            w_g = jnp.dot(h, w2[:, ofs_pads[g] : ofs_pads[g] + n], preferred_element_type=jnp.float32)
+            acc = acc + jnp.sum(w_g, axis=1, keepdims=True)
+        out_ref[:] = jnp.sum((acc * mask).reshape(TM, K, 1), axis=1) * jnp.ones((1, spec.out_dim))
+        return
+
     parts = _tp_contributions(x0e, x1o, x1e, x0o, sh1, spec)
+
+    if debug_stage == 2:  # contributions-only probe
+        acc = jnp.concatenate(parts["c0e"] + parts["c1o"][0] + parts["c1e"][0] + parts["c0o"], axis=1)
+        out_ref[:] = jnp.sum((jnp.sum(acc, axis=1, keepdims=True) * mask).reshape(TM, K, 1), axis=1) * jnp.ones((1, spec.out_dim))
+        return
 
     # --- weighted reduce per output group, then K-neighbor sum.
     # The per-group weight matmul emits FAN_PAD(=128)-wide stripes per output
     # channel, so the [T, mul*128] -> [T, mul, 128] split is a lane-aligned
     # shape cast and the u-contraction is a lane reduction (pure VPU).
-    def group_out(cvecs, g, ofs_pad, vchunk=8):
+    def group_out(cvecs, g, ofs_pad, vchunk=None):
         """cvecs: list of per-component [T, fan] stacks (1 or 3 entries).
         The weight matmul is chunked over output channels to bound VMEM."""
         fan, mul = spec.fans[g], spec.out_muls[g]
+        if vchunk is None:
+            vchunk = max(1, 1024 // max(T, 1))  # bound VMEM: w chunk ~ T*vchunk*128
         cpads = [
             jnp.concatenate(
                 [cv, jnp.zeros((T, FAN_PAD - fan), dtype=cv.dtype)], axis=1
@@ -324,9 +340,10 @@ def fused_tpconv_nbr(
     b2,  # [numel]
     irreps_in: str,
     irreps_out: str,
-    tile_m: int = 16,
+    tile_m: Optional[int] = None,
     interpret: bool = False,
     use_bf16: bool = True,
+    debug_stage: int = 0,
 ):
     """Fused (edge MLP -> weighted TP -> K-sum) over neighbor lists.
 
@@ -336,6 +353,10 @@ def fused_tpconv_nbr(
     spec = ladder_spec(irreps_in, irreps_out)
     assert spec is not None, "fused kernel requires lmax=1 ladder irreps"
     M, K, Fe = edge_attr.shape
+    if tile_m is None:
+        # target ~384 edges per program; tile_m must be a multiple of 8 for
+        # the 2D output block
+        tile_m = max(8, (256 // max(K, 1)) // 8 * 8)
 
     idx, scale, padded_numel, ofs_pads = padded_weight_layout(spec)
     safe_idx = jnp.asarray(np.maximum(idx, 0))
@@ -355,7 +376,7 @@ def fused_tpconv_nbr(
 
     kernel = functools.partial(
         _kernel, spec=spec, K=K, interpret_dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
-        ofs_pads=tuple(ofs_pads),
+        ofs_pads=tuple(ofs_pads), debug_stage=debug_stage,
     )
     out = pl.pallas_call(
         kernel,

@@ -75,6 +75,32 @@ def score_matching_loss(
     return LossBreakdown(loss, tr_loss, rot_loss, tor_loss, tr_base, rot_base, tor_base)
 
 
+def sidechain_losses(sidechain_pred, rec_sidechain, rec_mask):
+    """Side-chain chi (circular) + backbone-vector regression losses
+    (reference utils/training.py:63-122). Returns (sidechain_loss,
+    backbone_loss, sidechain_base, backbone_base) as masked means.
+
+    rec_sidechain: [B, N, 10] = chi1-4 (normalized to [0,1), NaN where
+    undefined) + flattened CA->N / CA->C unit vectors.
+    """
+    m = rec_mask.astype(sidechain_pred.dtype)
+    chi = rec_sidechain[..., :4]
+    chi_pred = sidechain_pred[..., :4]
+    defined = jnp.isfinite(chi) & rec_mask[..., None]
+    chi_s = jnp.where(defined, chi, 0.0)
+    chi_p = jnp.where(defined, chi_pred, 0.0)
+    diff = jnp.abs(chi_p - chi_s)
+    diff = jnp.minimum(diff, 1.0 - diff)  # angles are circular, 360 deg = 1
+    chi_base = jnp.sum(chi_s**2 * defined) / jnp.maximum(jnp.sum(defined), 1.0) + 1e-4
+    sidechain_loss = jnp.sum(diff**2 * defined) / jnp.maximum(jnp.sum(defined), 1.0) / chi_base
+
+    bb = rec_sidechain[..., 4:]
+    bb_pred = sidechain_pred[..., 4:]
+    bb_base = jnp.sum(bb**2 * m[..., None]) / jnp.maximum(jnp.sum(m) * 6, 1.0) + 1e-4
+    backbone_loss = jnp.sum((bb_pred - bb) ** 2 * m[..., None]) / jnp.maximum(jnp.sum(m) * 6, 1.0) / bb_base
+    return sidechain_loss, backbone_loss, chi_base, bb_base
+
+
 def confidence_loss(confidence_pred, labels, rmsd_prediction=False):
     """BCE pose-classification loss (or MSE on RMSD when rmsd_prediction),
     reference confidence/confidence_train.py:208-280."""
