@@ -60,6 +60,11 @@ def main():
     final, _ = sampling.sample_jit(model, variables, b0, key, cfg, sampler_cfg)
     jax.block_until_ready(final.lig_pos)
 
+    if os.environ.get("BENCH_PROFILE"):
+        with jax.profiler.trace(os.environ.get("BENCH_PROFILE_DIR", "/tmp/cbt_trace")):
+            final, _ = sampling.sample_jit(model, variables, b0, jax.random.PRNGKey(9), cfg, sampler_cfg)
+            jax.block_until_ready(final.lig_pos)
+
     times = []
     for i in range(3):
         k = jax.random.PRNGKey(i + 1)

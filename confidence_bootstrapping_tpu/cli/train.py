@@ -48,6 +48,8 @@ def get_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--data_parallel", action="store_true", help="shard batches over all local devices")
+    p.add_argument("--wandb", action="store_true", help="log to wandb when the package is available")
+    p.add_argument("--project", default="cbt_train")
     return p
 
 
@@ -123,6 +125,15 @@ def main(argv=None):
         v["batch_stats"] = state.batch_stats
         checkpoints.save_params(os.path.join(args.workdir, f"{name}.msgpack"), v)
 
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=args.project, config=vars(args))
+        except Exception as e:
+            print(f"wandb unavailable ({type(e).__name__}); continuing without it")
+
     best_val, best_inf, bad_epochs = np.inf, -np.inf, 0
     history = []
     for epoch in range(args.n_epochs):
@@ -163,6 +174,11 @@ def main(argv=None):
         save("last_model", state.params)
         save("last_ema_model", state.ema_params)
         history.append(entry)
+        if wandb_run is not None:
+            flat = {f"train_{k}": v for k, v in train_metrics.items()}
+            flat.update({f"val_{k}": v for k, v in val_metrics.items()})
+            flat.update(entry.get("inference", {}))
+            wandb_run.log(flat, step=epoch)
         with open(os.path.join(args.workdir, "history.pkl"), "wb") as f:
             pickle.dump(history, f)
         print(f"epoch {epoch}: train loss {train_metrics['loss']:.4f} val {val_metrics['loss']:.4f} "

@@ -206,9 +206,11 @@ def _tp_contributions(x0e, x1o, x1e, x0o, sh1, spec: LadderSpec):
     return parts
 
 
-def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, spec: LadderSpec, K: int, interpret_dtype, ofs_pads, debug_stage=0):
+def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, msg_ref, *, spec: LadderSpec, K: int, interpret_dtype, ofs_pads, debug_stage=0):
     TM = out_ref.shape[0]
+    K = attr_ref.shape[1]  # the K-tile handled by this program
     T = TM * K
+    j = pl.program_id(1)
     attr = attr_ref[:].reshape(T, attr_ref.shape[-1])
     xin = xin_ref[:].reshape(T, spec.in_dim)
     sh = sh_ref[:].reshape(T, 4)
@@ -251,45 +253,50 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # --- weighted reduce per output group, then K-neighbor sum.
     # The per-group weight matmul emits FAN_PAD(=128)-wide stripes per output
     # channel, so the [T, mul*128] -> [T, mul, 128] split is a lane-aligned
-    # shape cast and the u-contraction is a lane reduction (pure VPU).
-    def group_out(cvecs, g, ofs_pad, vchunk=None):
+    # shape cast and the u-contraction is a lane reduction (pure VPU). Each
+    # chunk's K-reduced result is written straight into the output ref so
+    # temporaries stay dead across chunks (bounds the Mosaic stack).
+    def group_out(cvecs, g, ofs_pad, col_ofs):
         """cvecs: list of per-component [T, fan] stacks (1 or 3 entries).
-        The weight matmul is chunked over output channels to bound VMEM."""
+        One weight matmul per group (bf16 accumulate-to-fp32 reduce)."""
         fan, mul = spec.fans[g], spec.out_muls[g]
-        if vchunk is None:
-            vchunk = max(1, 1024 // max(T, 1))  # bound VMEM: w chunk ~ T*vchunk*128
         cpads = [
             jnp.concatenate(
                 [cv, jnp.zeros((T, FAN_PAD - fan), dtype=cv.dtype)], axis=1
             )[:, None, :].astype(interpret_dtype)
             for cv in cvecs
         ]
-        comp_chunks = [[] for _ in cvecs]
-        for v0 in range(0, mul, vchunk):
-            vc = min(vchunk, mul - v0)
-            o = ofs_pad + v0 * FAN_PAD
-            n = vc * FAN_PAD
-            w_g = (jnp.dot(h, w2[:, o : o + n], preferred_element_type=jnp.float32) + b2[o : o + n]).astype(interpret_dtype)
-            w3 = w_g.reshape(T, vc, FAN_PAD)
-            for ci, cp in enumerate(cpads):
-                comp_chunks[ci].append(jnp.sum((cp * w3).astype(jnp.float32), axis=2))  # [T, vc]
-        comps = [jnp.concatenate(ch, axis=1) for ch in comp_chunks]
-        if len(comps) == 1:
-            return comps[0]
-        return jnp.concatenate(comps, axis=1)  # component-major [T, 3*mul]
+        n = mul * FAN_PAD
+        w_g = jnp.dot(h, w2[:, ofs_pad : ofs_pad + n], preferred_element_type=jnp.float32)
+        w_g = (w_g + b2[ofs_pad : ofs_pad + n]).astype(interpret_dtype)
+        w3 = w_g.reshape(T, mul, FAN_PAD)
+        for ci, cp in enumerate(cpads):
+            msg = jnp.sum((cp * w3).astype(jnp.float32), axis=2) * mask  # [T, mul]
+            col = col_ofs + ci * mul
+            msg_ref[:, col : col + mul] = msg
 
-    outs = []
+    col = 0
     if spec.out_muls[0]:
-        outs.append(group_out([jnp.concatenate(parts["c0e"], axis=1)], 0, ofs_pads[0]))
+        group_out([jnp.concatenate(parts["c0e"], axis=1)], 0, ofs_pads[0], col)
+        col += spec.out_muls[0]
     if spec.out_muls[1]:
-        outs.append(group_out([jnp.concatenate(parts["c1o"][c], axis=1) for c in range(3)], 1, ofs_pads[1]))
+        group_out([jnp.concatenate(parts["c1o"][c], axis=1) for c in range(3)], 1, ofs_pads[1], col)
+        col += 3 * spec.out_muls[1]
     if spec.out_muls[2]:
-        outs.append(group_out([jnp.concatenate(parts["c1e"][c], axis=1) for c in range(3)], 2, ofs_pads[2]))
+        group_out([jnp.concatenate(parts["c1e"][c], axis=1) for c in range(3)], 2, ofs_pads[2], col)
+        col += 3 * spec.out_muls[2]
     if spec.out_muls[3]:
-        outs.append(group_out([jnp.concatenate(parts["c0o"], axis=1)], 3, ofs_pads[3]))
+        group_out([jnp.concatenate(parts["c0o"], axis=1)], 3, ofs_pads[3], col)
 
-    msg = jnp.concatenate(outs, axis=1) * mask  # [T, out_dim_cm] component-major
-    out_ref[:] = jnp.sum(msg.reshape(TM, K, msg.shape[-1]), axis=1)
+    partial = jnp.sum(msg_ref[:].reshape(TM, K, spec.out_dim), axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial
 
 
 def _to_component_major(x, muls):
@@ -353,10 +360,16 @@ def fused_tpconv_nbr(
     spec = ladder_spec(irreps_in, irreps_out)
     assert spec is not None, "fused kernel requires lmax=1 ladder irreps"
     M, K, Fe = edge_attr.shape
+    # K-tiles bound the per-program edge count for wide neighbor lists
+    tile_k = K
+    for cand in (24, 16, 12, 8):
+        if K > 24 and K % cand == 0:
+            tile_k = cand
+            break
     if tile_m is None:
-        # target ~384 edges per program; tile_m must be a multiple of 8 for
+        # target ~192 edges per program; tile_m must be a multiple of 8 for
         # the 2D output block
-        tile_m = max(8, (256 // max(K, 1)) // 8 * 8)
+        tile_m = max(8, (192 // max(tile_k, 1)) // 8 * 8)
 
     idx, scale, padded_numel, ofs_pads = padded_weight_layout(spec)
     safe_idx = jnp.asarray(np.maximum(idx, 0))
@@ -380,19 +393,20 @@ def fused_tpconv_nbr(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(Mp // tile_m,),
+        grid=(Mp // tile_m, K // tile_k),
         in_specs=[
-            pl.BlockSpec((tile_m, K, Fe), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, K, spec.in_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, K, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, K, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k, Fe), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k, spec.in_dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k, 4), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_m, spec.out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile_m, spec.out_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, spec.out_dim), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_m * tile_k, spec.out_dim), jnp.float32)],
         interpret=interpret,
     )(edge_attr, sender_cm, sh, mask.astype(jnp.float32)[..., None], w1, b1, w2p, b2p)
 

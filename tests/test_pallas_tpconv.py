@@ -68,3 +68,24 @@ def test_fused_tpconv_flagship_shapes():
 def test_ladder_spec_rejects_non_ladder():
     assert tpconv.ladder_spec("4x2e + 3x1o", "4x0e") is None
     assert tpconv.ladder_spec("4x0e + 3x1o", "4x0e + 3x1o + 3x1e") is not None
+
+
+def test_fused_tpconv_k_tiling():
+    """K=48 exercises the K-tiled accumulation path (tile_k=24, 2 grid steps)."""
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    spec = tpconv.ladder_spec(irreps, irreps)
+    M, K, Fe, H = 16, 48, 24, 24
+    rng = np.random.RandomState(2)
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    edge_attr = jnp.asarray(rng.randn(M, K, Fe).astype(np.float32))
+    sender = jnp.asarray(rng.randn(M, K, spec.in_dim).astype(np.float32))
+    sh = spherical_harmonics(1, jnp.asarray(rng.randn(M, K, 3).astype(np.float32)))
+    mask = jnp.asarray(rng.rand(M, K) > 0.3)
+    w1 = jnp.asarray(rng.randn(Fe, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, spec.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(spec.weight_numel).astype(np.float32) * 0.1)
+    want = _xla_reference(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, irreps)
+    got = tpconv.fused_tpconv_nbr(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, irreps, interpret=True, use_bf16=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=3e-4)
