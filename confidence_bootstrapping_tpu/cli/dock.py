@@ -30,8 +30,10 @@ from ..train import checkpoints
 
 def get_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--protein_path", required=True)
-    p.add_argument("--ligand", required=True, help="ligand .sdf/.mol2 path (SMILES needs rdkit)")
+    p.add_argument("--protein_path", default=None)
+    p.add_argument("--ligand", default=None, help="ligand .sdf/.mol2 path (SMILES needs rdkit)")
+    p.add_argument("--protein_ligand_csv", default=None,
+                   help="CSV with complex_name,protein_path,ligand_path columns (reference dock.py batch mode)")
     p.add_argument("--complex_name", default=None)
     p.add_argument("--out_dir", default="results/user_predictions")
     p.add_argument("--model_dir", default=None, help="dir with model_config.yml + weights")
@@ -87,6 +89,25 @@ def load_esm_for_structure(path, structure):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    if args.protein_ligand_csv:
+        import csv
+
+        results = {}
+        with open(args.protein_ligand_csv) as f:
+            for row in csv.DictReader(f):
+                sub = argparse.Namespace(**vars(args))
+                sub.protein_path = row["protein_path"]
+                sub.ligand = row.get("ligand_path") or row.get("ligand_description")
+                sub.complex_name = row.get("complex_name") or None
+                sub.protein_ligand_csv = None
+                results[sub.complex_name or sub.ligand] = dock_one(sub)
+        return results
+    if not (args.protein_path and args.ligand):
+        raise SystemExit("provide --protein_path + --ligand, or --protein_ligand_csv")
+    return dock_one(args)
+
+
+def dock_one(args):
     name = args.complex_name or os.path.splitext(os.path.basename(args.ligand))[0]
     os.makedirs(os.path.join(args.out_dir, name), exist_ok=True)
 

@@ -95,30 +95,49 @@ def _path_constants():
     return c
 
 
-FAN_PAD = 128  # lane width: each output channel's fan-in stripe is padded
-# to a full lane group so the in-kernel [T, mul*128] -> [T, mul, 128]
-# reshape is a supported (lane-aligned) shape cast.
+FAN_PAD = 128  # lane group width: output channels are packed into 128-lane
+# stripes so the in-kernel [T, nblk*128] -> [T, nblk, 128] reshape is a
+# lane-aligned shape cast. When fan <= 64/32, 2/4 channels share a stripe
+# (slots of width 128/pack), halving/quartering the padded matmul width.
+
+
+def _group_pack(fan: int) -> int:
+    # Packing multiple channels per 128-lane stripe halves the padded matmul
+    # width but the sub-lane-group slice reductions cost more than they save
+    # on this Mosaic version (measured 275 ms vs 163 ms full-forward), so
+    # stripes stay one-channel-wide.
+    return 1
 
 
 def padded_weight_layout(spec: LadderSpec):
-    """Scatter canonical weight columns [u*mul+v] into the kernel layout
-    [group][v*128+u] (zero padding beyond fan). Returns (gather index per
-    padded column or -1, scale per padded column, padded numel, offsets)."""
-    ofs_pad = []
+    """Scatter canonical weight columns [u*mul+v] into the packed kernel
+    layout: group g, channel v -> stripe block b = v // pack, slot
+    s = v % pack, column = ofs[g] + b*128 + s*(128//pack) + u.
+
+    Returns (gather index per padded column or -1, scale, padded numel,
+    per-group offsets, per-group pack factors, per-group block counts).
+    """
+    ofs_pad, packs, nblks = [], [], []
     total = 0
     for fan, mul in zip(spec.fans, spec.out_muls):
+        p = _group_pack(fan)
+        nb = -(-mul // p) if mul else 0
         ofs_pad.append(total)
-        total += mul * FAN_PAD
-    idx = -np.ones(total, dtype=np.int64)
-    scale = np.zeros(total, dtype=np.float32)
+        packs.append(p)
+        nblks.append(nb)
+        total += nb * FAN_PAD
+    idx = -np.ones(max(total, 1), dtype=np.int64)
+    scale = np.zeros(max(total, 1), dtype=np.float32)
     ofs = 0
     for g, (fan, mul) in enumerate(zip(spec.fans, spec.out_muls)):
+        p, stripe = packs[g], FAN_PAD // packs[g]
         for u in range(fan):
             for v in range(mul):
-                idx[ofs_pad[g] + v * FAN_PAD + u] = ofs + u * mul + v
-                scale[ofs_pad[g] + v * FAN_PAD + u] = 1.0 / np.sqrt(fan)
+                col = ofs_pad[g] + (v // p) * FAN_PAD + (v % p) * stripe + u
+                idx[col] = ofs + u * mul + v
+                scale[col] = 1.0 / np.sqrt(fan)
         ofs += fan * mul
-    return idx, scale, total, ofs_pad
+    return idx, scale, total, ofs_pad, packs, nblks
 
 
 def _tp_contributions(x0e, x1o, x1e, x0o, sh1, spec: LadderSpec):
@@ -206,7 +225,7 @@ def _tp_contributions(x0e, x1o, x1e, x0o, sh1, spec: LadderSpec):
     return parts
 
 
-def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, msg_ref, *, spec: LadderSpec, K: int, interpret_dtype, ofs_pads, debug_stage=0):
+def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, msg_ref, *, spec: LadderSpec, K: int, interpret_dtype, ofs_pads, packs, nblks, debug_stage=0):
     TM = out_ref.shape[0]
     K = attr_ref.shape[1]  # the K-tile handled by this program
     T = TM * K
@@ -237,7 +256,7 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     if debug_stage == 1:  # MLP-only cost probe: touch all weight columns
         acc = 0.0
         for g, (fan, mul) in enumerate(zip(spec.fans, spec.out_muls)):
-            n = mul * FAN_PAD
+            n = nblks[g] * FAN_PAD
             w_g = jnp.dot(h, w2[:, ofs_pads[g] : ofs_pads[g] + n], preferred_element_type=jnp.float32)
             acc = acc + jnp.sum(w_g, axis=1, keepdims=True)
         out_ref[:] = jnp.sum((acc * mask).reshape(TM, K, 1), axis=1) * jnp.ones((1, spec.out_dim))
@@ -258,22 +277,37 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # temporaries stay dead across chunks (bounds the Mosaic stack).
     def group_out(cvecs, g, ofs_pad, col_ofs):
         """cvecs: list of per-component [T, fan] stacks (1 or 3 entries).
-        One weight matmul per group (bf16 accumulate-to-fp32 reduce)."""
+        One weight matmul per group; `pack` channels share each 128-lane
+        stripe, so the contribution vector is tiled into the slots and the
+        lane reduction runs per slot."""
         fan, mul = spec.fans[g], spec.out_muls[g]
-        cpads = [
-            jnp.concatenate(
-                [cv, jnp.zeros((T, FAN_PAD - fan), dtype=cv.dtype)], axis=1
-            )[:, None, :].astype(interpret_dtype)
-            for cv in cvecs
-        ]
-        n = mul * FAN_PAD
+        pack, nblk = packs[g], nblks[g]
+        stripe = FAN_PAD // pack
+        cpads = []
+        for cv in cvecs:
+            if stripe > fan:
+                slot = jnp.concatenate([cv, jnp.zeros((T, stripe - fan), dtype=cv.dtype)], axis=1)
+            else:
+                slot = cv
+            full = jnp.concatenate([slot] * pack, axis=1) if pack > 1 else slot  # [T, 128]
+            cpads.append(full[:, None, :].astype(interpret_dtype))
+        n = nblk * FAN_PAD
         w_g = jnp.dot(h, w2[:, ofs_pad : ofs_pad + n], preferred_element_type=jnp.float32)
         w_g = (w_g + b2[ofs_pad : ofs_pad + n]).astype(interpret_dtype)
-        w3 = w_g.reshape(T, mul, FAN_PAD)
+        w3 = w_g.reshape(T, nblk, FAN_PAD)
         for ci, cp in enumerate(cpads):
-            msg = jnp.sum((cp * w3).astype(jnp.float32), axis=2) * mask  # [T, mul]
-            col = col_ofs + ci * mul
-            msg_ref[:, col : col + mul] = msg
+            prod = (cp * w3).astype(jnp.float32)  # [T, nblk, 128]
+            ofs_s = 0
+            for s in range(pack):
+                # covers channels v = b*pack + s; stored contiguously in
+                # slot-major order (unpermuted outside, see _output_perm)
+                nv = (mul - s + pack - 1) // pack
+                if nv <= 0:
+                    continue
+                part = jnp.sum(prod[..., s * stripe : (s + 1) * stripe], axis=2) * mask  # [T, nblk]
+                col = col_ofs + ci * mul + ofs_s
+                msg_ref[:, col : col + nv] = part[:, :nv]
+                ofs_s += nv
 
     col = 0
     if spec.out_muls[0]:
@@ -316,6 +350,25 @@ def _to_component_major(x, muls):
     ofs += 3 * i1e
     parts.append(x[..., ofs : ofs + i0o])
     return jnp.concatenate(parts, axis=-1)
+
+
+def _output_perm(spec: LadderSpec, packs):
+    """Kernel slot-major column order -> component-major order (applied to
+    the kernel output outside via a gather)."""
+    perm = []
+    base = 0
+    for g, (mul, ncomp) in enumerate(
+        zip(spec.out_muls, (1, 3, 3, 1))
+    ):
+        if mul == 0:
+            continue
+        pack = packs[g]
+        order = [v for s in range(pack) for v in range(s, mul, pack)]
+        inv = np.argsort(order)
+        for ci in range(ncomp):
+            perm.extend(base + ci * mul + inv)
+        base += ncomp * mul
+    return np.asarray(perm, dtype=np.int64)
 
 
 def _from_component_major(x, muls):
@@ -371,7 +424,7 @@ def fused_tpconv_nbr(
         # the 2D output block
         tile_m = max(8, (192 // max(tile_k, 1)) // 8 * 8)
 
-    idx, scale, padded_numel, ofs_pads = padded_weight_layout(spec)
+    idx, scale, padded_numel, ofs_pads, packs, nblks = padded_weight_layout(spec)
     safe_idx = jnp.asarray(np.maximum(idx, 0))
     keep = jnp.asarray((idx >= 0).astype(np.float32))
     scale_j = jnp.asarray(scale)
@@ -389,7 +442,7 @@ def fused_tpconv_nbr(
 
     kernel = functools.partial(
         _kernel, spec=spec, K=K, interpret_dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
-        ofs_pads=tuple(ofs_pads), debug_stage=debug_stage,
+        ofs_pads=tuple(ofs_pads), packs=tuple(packs), nblks=tuple(nblks), debug_stage=debug_stage,
     )
     out = pl.pallas_call(
         kernel,
@@ -410,6 +463,6 @@ def fused_tpconv_nbr(
         interpret=interpret,
     )(edge_attr, sender_cm, sh, mask.astype(jnp.float32)[..., None], w1, b1, w2p, b2p)
 
-    out = out[:M]
+    out = out[:M][:, _output_perm(spec, packs)]
     # the kernel emits component-major l=1 blocks; convert back to canonical
     return _from_component_major(out, spec.out_muls)
