@@ -123,7 +123,7 @@ def inference_finetune(
     key,
     confidence_fn: Optional[Callable] = None,
     workdir: Optional[str] = None,
-    extra_train_batches: Optional[Callable[[], List]] = None,
+    original_dataset=None,
 ):
     """The full CB loop. Returns (final TrainState, metric history)."""
     tcfg = TrainConfig(
@@ -164,16 +164,22 @@ def inference_finetune(
                 print(f"epoch {epoch} rollout {it}: kept {inf_metrics['n_kept']}/{inf_metrics['n_sampled']}, "
                       f"rmsds<2A {inf_metrics['rmsds_lt2']:.3f}, buffer {buffer.statistics()['size']}")
 
-        # finetune on the buffer
+        # finetune on the buffer (optionally mixed with original train
+        # batches, reference --keep_original_train finetune_train.py:116-126;
+        # batches alternate because bucket shapes must stay uniform per batch)
         train_metrics = {}
         if len(buffer.complexes) > 0:
             n_batches = max(1, len(buffer) // cb.batch_size)
             meter = train_loop.AverageMeter()
-            for _ in range(n_batches):
-                items = buffer.sample_batch(cb.batch_size)
-                if extra_train_batches is not None:
-                    items = items + extra_train_batches()
-                batch = batch_complexes(items)
+            orig_batches = []
+            if cb.keep_original_train and original_dataset is not None and len(original_dataset) > 0:
+                rng = np.random.RandomState(epoch)
+                orig_batches = original_dataset.epoch_batches(cb.batch_size, rng)[: max(1, n_batches)]
+            for bi in range(n_batches + len(orig_batches)):
+                if bi % 2 == 1 and orig_batches:
+                    batch = orig_batches.pop()
+                else:
+                    batch = batch_complexes(buffer.sample_batch(cb.batch_size))
                 key, k = jax.random.split(key)
                 state, metrics = train_step(state, batch, k)
                 meter.add({m: float(v) for m, v in metrics.items()})

@@ -53,6 +53,11 @@ def get_parser():
     p.add_argument("--fixed_length", type=int, default=100)
     p.add_argument("--minimum_t", type=float, default=0.0)
     p.add_argument("--oracle_confidence", action="store_true")
+    p.add_argument("--keep_original_train", action="store_true",
+                   help="mix original-trainset batches into finetuning (paper-repro recipe)")
+    p.add_argument("--original_train_dir", default=None)
+    p.add_argument("--original_train_split", default=None)
+    p.add_argument("--total_trainset_size", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit_complexes", type=int, default=0)
     return p
@@ -108,9 +113,19 @@ def main(argv=None):
             lp = batch.lig_pos.at[:, :L].set(poses)
             return np.asarray(sampling.score_confidence(cmodel, cvars, batch, lig_pos=lp))
 
+    original_dataset = None
+    if args.keep_original_train and args.original_train_dir:
+        names_o = None
+        if args.original_train_split:
+            names_o = open(args.original_train_split).read().split()[: args.total_trainset_size]
+        entries_o = discover_dir(args.original_train_dir, names_o)[: args.total_trainset_size]
+        original_dataset = ComplexDataset(entries_o, cache_dir=args.cache_path)
+        print(f"keep_original_train: {len(original_dataset)} original complexes mixed in")
+        cb = CBConfig(**{**cb_kwargs, "keep_original_train": True})
+
     state, history = ft.inference_finetune(
         model, variables, targets, model_cfg, cb, jax.random.PRNGKey(args.seed),
-        confidence_fn=confidence_fn, workdir=args.workdir,
+        confidence_fn=confidence_fn, workdir=args.workdir, original_dataset=original_dataset,
     )
     print("CB finetune done;", history[-1])
     return state, history

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 import yaml
 
-from ..config import SamplerConfig, ScoreModelConfig, TrainConfig, save_yaml, to_dict
+from ..config import SamplerConfig, ScoreModelConfig, TrainConfig, from_dict, save_yaml, to_dict
 from ..data.complex_graph import replicate_complex
 from ..data.dataset import ComplexDataset, discover_dir
 from ..eval import rmsd as rmsd_mod
@@ -89,7 +89,7 @@ def main(argv=None):
     if args.config:
         with open(args.config) as f:
             overlay = yaml.safe_load(f) or {}
-        model_cfg = ScoreModelConfig(**{**to_dict(model_cfg), **overlay})
+        model_cfg = from_dict(ScoreModelConfig, {**to_dict(model_cfg), **overlay})
     tcfg = TrainConfig(lr=args.lr, batch_size=args.batch_size, n_epochs=args.n_epochs)
 
     entries = discover_dir(args.data_dir, _names(args.split_train))

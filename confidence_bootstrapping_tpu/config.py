@@ -182,11 +182,18 @@ def to_dict(cfg) -> dict:
     def clean(v):
         if isinstance(v, dict):
             return {k: clean(x) for k, x in v.items()}
+        if hasattr(v, "_asdict"):  # NamedTuple (e.g. SigmaParams)
+            return {k: clean(x) for k, x in v._asdict().items()}
         if isinstance(v, tuple):
             return list(v)
         return v
 
     return clean(d)
+
+
+def from_dict(cls, d: dict):
+    """Rebuild a config dataclass from a (possibly overlaid) dict."""
+    return _from_dict(cls, d)
 
 
 def save_yaml(cfg, path: str):
@@ -202,6 +209,8 @@ def _from_dict(cls, d: dict):
             continue  # forward/backward compatibility: ignore unknown keys
         if k == "sigma" and isinstance(v, dict):
             v = SigmaParams(**v)
+        elif k == "sigma" and isinstance(v, (list, tuple)):
+            v = SigmaParams(*v)
         f = names[k]
         if f.type == "Tuple[float, float, float]" and isinstance(v, list):
             v = tuple(v)
