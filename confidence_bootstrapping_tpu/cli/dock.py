@@ -47,6 +47,9 @@ def get_parser():
     p.add_argument("--ode", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_visualisation", action="store_true")
+    p.add_argument("--pocket_knowledge", action="store_true",
+                   help="initialize poses at the known pocket (reference --inf_pocket_knowledge)")
+    p.add_argument("--pocket_cutoff", type=float, default=7.0)
     p.add_argument("--esm_embeddings_path", default=None, help=".pt dict of per-chain ESM2 embeddings")
     return p
 
@@ -140,7 +143,12 @@ def dock_one(args):
         n = min(args.batch_size, args.samples - start)
         batch = replicate_complex(padded, n)
         key, k1, k2 = jax.random.split(key, 3)
-        batch = sampling.randomize_position(batch, k1, cfg.sigma.tr_sigma_max)
+        pk = None
+        if args.pocket_knowledge:
+            c = featurize.pocket_center(hc, args.pocket_cutoff)
+            pk = np.broadcast_to(c, (n, 3)).copy()
+        batch = sampling.randomize_position(batch, k1, cfg.sigma.tr_sigma_max,
+                                            pocket_center=None if pk is None else jax.numpy.asarray(pk))
         final, traj = sampling.sample_jit(
             model, variables, batch, k2, cfg, sampler_cfg, args.save_visualisation
         )

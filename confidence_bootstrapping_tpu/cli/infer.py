@@ -192,6 +192,25 @@ def main(argv=None):
     m["poses_per_sec"] = round(float(len(names) * N / max(run_times.sum(), 1e-9)), 3)
     with open(f"{args.out_dir}/metrics.json", "w") as f:
         json.dump(m, f, indent=2)
+    try:  # ECDF plot of per-complex best/top-confidence RMSDs (reference wandb figures)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(5, 4))
+        for label, vals in [("min over poses", rmsds.min(axis=1)),
+                            ("top confidence", rmsds[np.arange(len(rmsds)), np.argmax(confidences, axis=1)])]:
+            xs = np.sort(vals)
+            ax.step(xs, np.arange(1, len(xs) + 1) / len(xs), label=label)
+        ax.set_xlabel("RMSD (A)")
+        ax.set_ylabel("cumulative fraction")
+        ax.set_xlim(0, 10)
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(f"{args.out_dir}/rmsd_ecdf.png", dpi=120)
+    except Exception as e:
+        print(f"ecdf plot skipped: {type(e).__name__}")
     for k, v in sorted(m.items()):
         print(f"{k}: {v}")
     return m

@@ -267,6 +267,17 @@ def featurize_receptor_atoms(
     return atom_f, atom_pos, nbr, mask, atom_res
 
 
+def pocket_center(hc: HostComplex, pocket_cutoff: float = 7.0) -> np.ndarray:
+    """Mean position of receptor residues within pocket_cutoff of the true
+    ligand pose (pocket-aware initialization, reference sampling.py:18-27);
+    falls back to the closest residue when none qualify."""
+    d = np.linalg.norm(hc.rec_pos[:, None, :] - hc.orig_lig_pos[None, :, :], axis=-1)
+    label = (d < pocket_cutoff).any(axis=1)
+    if label.any():
+        return hc.rec_pos[label].mean(axis=0)
+    return hc.rec_pos[np.argmin(d.min(axis=1))]
+
+
 def build_host_complex(
     name: str,
     mol: Molecule,
@@ -280,11 +291,24 @@ def build_host_complex(
     atom_radius: float = 5.0,
     atom_max_neighbors: int = 8,
     with_sidechains: bool = False,
+    chain_cutoff: Optional[float] = None,
 ) -> HostComplex:
     """Featurize one complex and center it at the receptor centroid
     (the reference centers all graphs at the receptor center,
-    process_mols.py / inference_utils.py)."""
+    process_mols.py / inference_utils.py). chain_cutoff drops whole receptor
+    chains with no atom within that distance of the ligand (reference
+    moad.py:214-258)."""
     feats, heavy, esrc, edst, eattr = featurize_ligand(mol, remove_hs=remove_hs)
+    if chain_cutoff is not None:
+        keep_chains = set()
+        for r in structure.residues:
+            if r.chain in keep_chains or "CA" not in r.atoms:
+                continue
+            d = np.linalg.norm(heavy.pos - r.atoms["CA"][None], axis=1).min()
+            if d < chain_cutoff:
+                keep_chains.add(r.chain)
+        if keep_chains:
+            structure = ProteinStructure([r for r in structure.residues if r.chain in keep_chains])
     tor_src, tor_dst, mask_rotate = get_transformation_mask(heavy.num_atoms, heavy.bonds)
     rec_f, rec_pos, rec_nbr, rec_nbr_mask, lm, residues = featurize_receptor(
         structure, lm_embeddings, c_alpha_max_neighbors, knn_only_graph, receptor_radius
