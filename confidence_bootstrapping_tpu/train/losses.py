@@ -42,8 +42,6 @@ def score_matching_loss(
 ) -> LossBreakdown:
     tr_sigma, rot_sigma, tor_sigma = t_to_sigma(batch.t_tr, batch.t_rot, batch.t_tor, sigma)
 
-    mean_dims = None if apply_mean else (1,)
-
     def _m(x):
         return jnp.mean(x) if apply_mean else jnp.mean(x, axis=1)
 
