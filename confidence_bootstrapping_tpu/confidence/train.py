@@ -78,6 +78,55 @@ def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
     return float((r_pos - len(pos) * (len(pos) + 1) / 2) / (len(pos) * len(neg)))
 
 
+def trajectory_sweep(
+    conf_model,
+    conf_variables,
+    score_model,
+    score_variables,
+    targets,
+    model_cfg,
+    key,
+    inference_steps: int = 20,
+    samples: int = 4,
+):
+    """Evaluate confidence along the reverse-diffusion trajectory: accuracy
+    of 'pose within 2A' at every denoising step 0..T (reference
+    confidence_train.py:451-486 test() sweep)."""
+    import numpy as np
+
+    from ..config import SamplerConfig
+    from ..data.complex_graph import replicate_complex
+    from ..sampler import sampling as sampling_mod
+
+    sampler_cfg = SamplerConfig(inference_steps=inference_steps)
+    per_step_scores = [[] for _ in range(inference_steps + 1)]
+    per_step_rmsds = [[] for _ in range(inference_steps + 1)]
+    for target in targets:
+        key, k1, k2 = jax.random.split(key, 3)
+        batch = replicate_complex(target.padded, samples)
+        batch0 = sampling_mod.randomize_position(batch, k1, model_cfg.sigma.tr_sigma_max)
+        final, traj = sampling_mod.sample(
+            score_model, score_variables, batch0, k2, model_cfg, sampler_cfg, return_trajectory=True
+        )
+        L = len(target.hc.lig_f)
+        positions = np.concatenate([np.asarray(batch0.lig_pos)[None], np.asarray(traj)], axis=0)
+        for step in range(inference_steps + 1):
+            lp = batch.lig_pos.at[:, :L].set(positions[step, :, :L])
+            scores = sampling_mod.score_confidence(conf_model, conf_variables, batch, lig_pos=lp)
+            r = np.sqrt(((positions[step, :, :L] - target.hc.orig_lig_pos[None]) ** 2).sum(-1).mean(-1))
+            per_step_scores[step].extend(np.asarray(scores).tolist())
+            per_step_rmsds[step].extend(r.tolist())
+    out = []
+    for step in range(inference_steps + 1):
+        s = np.asarray(per_step_scores[step])
+        r = np.asarray(per_step_rmsds[step])
+        out.append(
+            dict(step=step, accuracy=float(np.mean((s > 0) == (r < 2.0))), mean_rmsd=float(r.mean()),
+                 mean_score=float(s.mean()))
+        )
+    return out
+
+
 def train_confidence(
     model,
     variables,

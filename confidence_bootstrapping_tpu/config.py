@@ -61,6 +61,7 @@ class ScoreModelConfig:
     # confidence-mode heads (reference score_model.py:206-233)
     confidence_mode: bool = False
     num_confidence_outputs: int = 1
+    affinity_prediction: bool = False
     atom_confidence: bool = False
     atom_num_confidence_outputs: int = 1
     confidence_dropout: float = 0.0

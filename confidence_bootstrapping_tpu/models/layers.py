@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.irreps import Irreps, WeightedTensorProduct, linear_apply, linear_weight_shapes
+from ..ops.irreps import DepthwiseTensorProduct, Irreps, WeightedTensorProduct, linear_apply, linear_weight_shapes
 
 
 class FCBlock(nn.Module):
@@ -194,9 +194,15 @@ class TPConv(nn.Module):
     batch_norm: bool = True
     residual: bool = True
     tp_weights_layers: int = 2
+    depthwise: bool = False
 
     def setup(self):
-        self.tp = WeightedTensorProduct(self.in_irreps, self.sh_irreps, self.out_irreps)
+        if self.depthwise:
+            # uvu product + post-aggregation Linear (reference depthwise path)
+            self.tp = DepthwiseTensorProduct(self.in_irreps, self.sh_irreps)
+            self.linear_2 = LinearIrreps(str(self.tp.irreps_out), self.out_irreps)
+        else:
+            self.tp = WeightedTensorProduct(self.in_irreps, self.sh_irreps, self.out_irreps)
         hidden = self.hidden_features or self.n_edge_features
         self.edge_mlps = [
             FCBlock(hidden, self.tp.weight_numel, depth=self.tp_weights_layers, dropout=self.dropout)
@@ -222,6 +228,7 @@ class TPConv(nn.Module):
         counts = jnp.sum(edge_mask, axis=-1).astype(jnp.float32)
         use_fused = (
             deterministic
+            and not self.depthwise
             and self.tp_weights_layers == 2
             and str(Irreps(self.sh_irreps)) == "1x0e + 1x1o"
             and _tpconv.ladder_spec(self.in_irreps, self.out_irreps) is not None
@@ -257,8 +264,10 @@ class TPConv(nn.Module):
         return jnp.where(edge_mask[..., None], msg, 0.0)
 
     def finalize(self, x_in, msg_sum, msg_count, node_mask, use_running_average=True):
-        """mean-aggregate, batch norm, residual."""
+        """mean-aggregate, (depthwise: linear mix), batch norm, residual."""
         out = msg_sum / jnp.maximum(msg_count, 1.0)[..., None]
+        if self.depthwise:
+            out = self.linear_2(out)
         if self.batch_norm:
             out = self.bn(out, node_mask, use_running_average=use_running_average)
             out = jnp.where(node_mask[..., None], out, 0.0)

@@ -111,6 +111,7 @@ class TensorProductScoreModel(nn.Module):
                 batch_norm=c.batch_norm,
                 residual=True,
                 tp_weights_layers=c.tp_weights_layers,
+                depthwise=c.depthwise_convolution,
             )
 
         self.rec_emb_layers = [emb_layer(i) for i in range(c.num_prot_emb_layers)]
@@ -133,6 +134,7 @@ class TensorProductScoreModel(nn.Module):
                     batch_norm=c.batch_norm,
                     residual=True,
                     tp_weights_layers=c.tp_weights_layers,
+                    depthwise=c.depthwise_convolution,
                 )
             )
         self.conv_layers = convs
@@ -150,7 +152,8 @@ class TensorProductScoreModel(nn.Module):
                 )
                 scalar_in = ns
             self.confidence_predictor = ConfidenceHead(
-                ns, c.num_confidence_outputs, c.confidence_dropout, not c.confidence_no_batchnorm
+                ns, c.num_confidence_outputs + (1 if c.affinity_prediction else 0),
+                c.confidence_dropout, not c.confidence_no_batchnorm,
             )
             self.scalar_in = scalar_in
         else:
@@ -479,7 +482,7 @@ class TensorProductScoreModel(nn.Module):
             m = batch.lig_mask.astype(scal.dtype)[..., None]
             pooled = jnp.sum(scal * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
             conf = self.confidence_predictor(pooled, None, det, ura)
-            if c.num_confidence_outputs == 1:
+            if c.num_confidence_outputs == 1 and not c.affinity_prediction:
                 conf = conf[..., 0]
             return ScoreOutput(None, None, None, confidence=conf, atom_confidence=atom_conf)
 

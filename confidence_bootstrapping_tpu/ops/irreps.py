@@ -383,6 +383,52 @@ class WeightedTensorProduct:
         return jnp.concatenate(outs, axis=-1)
 
 
+class DepthwiseTensorProduct:
+    """'uvu' tensor product: one weight per (path, input channel) — no
+    cross-channel mixing (reference tensor_layers.py:134-167, the
+    depthwise_convolution option). The caller applies an equivariant Linear
+    after aggregation (reference linear_2).
+
+    Output irreps: one block of mul_in channels per admissible (in, sh) path,
+    sorted by (l, p) like e3nn's irreps_mid.sort().
+    """
+
+    def __init__(self, irreps_in, irreps_sh):
+        self.irreps_in = Irreps(irreps_in)
+        self.irreps_sh = Irreps(irreps_sh)
+        paths = []
+        for ii, (mul, ir_in) in enumerate(self.irreps_in):
+            for si, (_, ir_sh) in enumerate(self.irreps_sh):
+                for l3 in range(abs(ir_in.l - ir_sh.l), ir_in.l + ir_sh.l + 1):
+                    paths.append((ii, si, Irrep(l3, ir_in.p * ir_sh.p), mul))
+        # sort output blocks by (l, p) for a canonical mid-irreps order
+        paths.sort(key=lambda t: (t[2].l, -t[2].p))
+        self.paths = paths
+        self.irreps_out = Irreps([(mul, (ir.l, ir.p)) for _, _, ir, mul in paths])
+        self.weight_numel = sum(mul for _, _, _, mul in paths)
+
+    def __call__(self, x, sh, weight):
+        in_slices = self.irreps_in.slices()
+        sh_slices = self.irreps_sh.slices()
+        outs = []
+        w_ofs = 0
+        for ii, si, ir_out, mul in self.paths:
+            _, ir_in = self.irreps_in[ii]
+            _, ir_sh = self.irreps_sh[si]
+            blk = x[..., in_slices[ii]].reshape(x.shape[:-1] + (mul, ir_in.dim))
+            shv = sh[..., sh_slices[si]]
+            cg = jnp.asarray(clebsch_gordan(ir_in.l, ir_sh.l, ir_out.l) * np.sqrt(ir_out.dim), dtype=x.dtype)
+            T = jnp.sum(shv[..., None, :, None] * cg, axis=-2)  # [..., d1, d3]
+            contrib = jnp.sum(blk[..., :, :, None] * T[..., None, :, :], axis=-2)  # [..., mul, d3]
+            w = weight[..., w_ofs : w_ofs + mul]
+            w_ofs += mul
+            out = contrib * w[..., :, None]
+            lead = jnp.broadcast_shapes(x.shape[:-1], sh.shape[:-1], weight.shape[:-1])
+            outs.append(jnp.broadcast_to(out.reshape(out.shape[:-2] + (mul * ir_out.dim,)),
+                                         lead + (mul * ir_out.dim,)))
+        return jnp.concatenate(outs, axis=-1)
+
+
 class FullTensorProduct:
     """Unweighted full tensor product of two irreps vectors (e3nn-style).
 

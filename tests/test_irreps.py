@@ -177,3 +177,19 @@ def test_linear_equivariance():
     x_r = _block_rotate(irreps_in, x, rot).astype(np.float32)
     out_r = np.asarray(ir.linear_apply(irreps_in, irreps_out, jnp.asarray(x_r), weights))
     np.testing.assert_allclose(out_r, _block_rotate(irreps_out, out, rot), atol=1e-5)
+
+
+def test_depthwise_tp_equivariance():
+    tp = ir.DepthwiseTensorProduct("4x0e + 3x1o + 3x1e", ir.spherical_harmonics_irreps(1))
+    rng = np.random.RandomState(8)
+    x = rng.randn(10, 4 + 9 + 9).astype(np.float32)
+    vec = rng.randn(10, 3).astype(np.float32)
+    w = rng.randn(10, tp.weight_numel).astype(np.float32)
+    sh = ir.spherical_harmonics(1, jnp.asarray(vec))
+    out = np.asarray(tp(jnp.asarray(x), sh, jnp.asarray(w)))
+    rot = _rand_rot(17)
+    x_r = _block_rotate("4x0e + 3x1o + 3x1e", x, rot).astype(np.float32)
+    sh_r = ir.spherical_harmonics(1, jnp.asarray((vec @ rot.T)))
+    out_r = np.asarray(tp(jnp.asarray(x_r), sh_r, jnp.asarray(w)))
+    want = _block_rotate(tp.irreps_out, out, rot)
+    np.testing.assert_allclose(out_r, want, atol=2e-4)
