@@ -45,6 +45,10 @@ def get_parser():
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--inference_earlystop_patience", type=int, default=30)
     p.add_argument("--restart_dir", default=None)
+    p.add_argument("--warmup_dur", type=int, default=0, help="linear LR warmup epochs (reference lr_start_factor)")
+    p.add_argument("--lr_start_factor", type=float, default=1e-3)
+    p.add_argument("--layer_warmup", type=int, default=0,
+                   help="unfreeze one extra conv layer every N epochs (reference layer_linear_warmup)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--data_parallel", action="store_true", help="shard batches over all local devices")
@@ -141,8 +145,17 @@ def main(argv=None):
         batches = train_ds.epoch_batches(args.batch_size, rng)
         if dp_mesh is not None:
             batches = [meshlib.shard_batch(dp_mesh, b) for b in batches]
+        if args.warmup_dur and epoch < args.warmup_dur:
+            frac = args.lr_start_factor + (1 - args.lr_start_factor) * epoch / args.warmup_dur
+            state = state._replace(lr_scale=jax.numpy.asarray(frac))
+        elif args.warmup_dur and epoch == args.warmup_dur:
+            state = state._replace(lr_scale=jax.numpy.ones(()))
+        grad_mask = None
+        if args.layer_warmup:
+            n_unfrozen = 1 + epoch // args.layer_warmup
+            grad_mask = train_loop.layer_freeze_mask(state.params, n_unfrozen)
         key, k = jax.random.split(key)
-        state, train_metrics = train_loop.train_epoch(train_step, state, batches, k)
+        state, train_metrics = train_loop.train_epoch(train_step, state, batches, k, grad_mask=grad_mask)
 
         key, k = jax.random.split(key)
         val_metrics = train_loop.test_epoch(eval_step, state, val_ds.epoch_batches(args.batch_size, rng), k)

@@ -54,12 +54,38 @@ def init_train_state(variables, cfg: TrainConfig) -> TrainState:
     )
 
 
-def make_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
-    """Returns jitted (state, batch, key) -> (state, metrics)."""
+def layer_freeze_mask(params, n_unfrozen: int):
+    """0/1 gradient mask unfreezing the last `n_unfrozen` conv layers plus
+    all non-conv parameters (the reference's layer_linear_warmup progressive
+    unfreezing, utils/utils.py:135-153). n_unfrozen <= 0 unfreezes nothing
+    but the heads; a large value unfreezes everything."""
+    import re
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    layer_ids = set()
+    for path, _ in flat:
+        m = re.match(r"conv_layers_(\d+)", str(path[0].key) if hasattr(path[0], "key") else "")
+        if m:
+            layer_ids.add(int(m.group(1)))
+    n_layers = max(layer_ids) + 1 if layer_ids else 0
+    cutoff = n_layers - n_unfrozen
+
+    def mask_leaf(path, x):
+        name = str(path[0].key) if hasattr(path[0], "key") else ""
+        m = re.match(r"(?:conv_layers|rec_emb_layers|lig_emb_layers)_(\d+)", name)
+        if m and int(m.group(1)) < cutoff:
+            return jnp.zeros_like(x)
+        return jnp.ones_like(x)
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def make_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig, use_grad_mask: bool = False):
+    """Returns jitted (state, batch, key[, grad_mask]) -> (state, metrics)."""
     tx = make_optimizer(cfg)
 
     @jax.jit
-    def train_step(state: TrainState, batch: ComplexBatch, key):
+    def train_step(state: TrainState, batch: ComplexBatch, key, grad_mask=None):
         k_noise, k_drop = jax.random.split(key)
         noised, targets = apply_noise(batch, k_noise, model_cfg.sigma, cfg, model_cfg.no_torsion)
 
@@ -83,6 +109,8 @@ def make_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
         # NaN-batch skip (reference utils/training.py:204-206): zero the update
         ok = jnp.isfinite(loss)
         grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        if grad_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
@@ -172,11 +200,11 @@ class PlateauScheduler:
         return state
 
 
-def train_epoch(train_step, state, batches, key):
+def train_epoch(train_step, state, batches, key, grad_mask=None):
     meter = AverageMeter()
     for i, batch in enumerate(batches):
         key, k = jax.random.split(key)
-        state, metrics = train_step(state, batch, k)
+        state, metrics = train_step(state, batch, k) if grad_mask is None else train_step(state, batch, k, grad_mask)
         meter.add({k_: float(v) for k_, v in metrics.items()})
     return state, meter.summary()
 

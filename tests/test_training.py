@@ -87,3 +87,29 @@ def test_plateau_scheduler():
     assert float(state.lr_scale) == 1.0
     state = sched.step(state, 1.2)  # second bad epoch > patience
     assert float(state.lr_scale) == 0.5
+
+
+def test_layer_freeze_mask_and_masked_step():
+    batch = make_random_batch(B=2)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    mask = train_loop.layer_freeze_mask(variables["params"], n_unfrozen=1)
+    # first conv layer frozen, last unfrozen
+    import jax as _jax
+
+    frozen = _jax.tree.leaves(mask["conv_layers_0"])[0]
+    unfrozen = _jax.tree.leaves(mask["conv_layers_1"])[0]
+    assert float(np.asarray(frozen).max()) == 0.0
+    assert float(np.asarray(unfrozen).min()) == 1.0
+
+    cfg = TrainConfig(lr=1e-2)
+    state = train_loop.init_train_state(variables, cfg)
+    step = train_loop.make_train_step(model, SMALL_CFG, cfg)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1), mask)
+    # frozen layer params unchanged, unfrozen moved
+    a0 = _jax.tree.leaves(state.params["conv_layers_0"])[0]
+    a1 = _jax.tree.leaves(new_state.params["conv_layers_0"])[0]
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1))
+    b0 = _jax.tree.leaves(state.params["conv_layers_1"])[0]
+    b1 = _jax.tree.leaves(new_state.params["conv_layers_1"])[0]
+    assert np.abs(np.asarray(b0) - np.asarray(b1)).max() > 0
