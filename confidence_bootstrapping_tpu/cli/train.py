@@ -30,10 +30,23 @@ from ..train import checkpoints, train_loop
 
 def get_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--data_dir", required=True)
+    p.add_argument("--data_dir", required=True, help="directory of complexes; always used for validation")
     p.add_argument("--split_train", default=None, help="file with train complex names")
     p.add_argument("--split_val", default=None)
     p.add_argument("--cache_path", default="cache")
+    # dataset selection (reference datasets/loader.py:34-129): 'dir' trains on
+    # --data_dir; the named modes build PDBBind/MOAD/combined/generalisation
+    # (= triple_training: + PDBSidechain) mixtures via construct_loader_entries.
+    p.add_argument("--dataset", default="dir", choices=["dir", "pdbbind", "moad", "combined", "generalisation"])
+    p.add_argument("--pdbbind_dir", default=None)
+    p.add_argument("--moad_dir", default=None)
+    p.add_argument("--moad_splits_pkl", default=None)
+    p.add_argument("--cluster_to_ligands_pkl", default=None)
+    p.add_argument("--pdbsidechain_dir", default=None)
+    p.add_argument("--add_bootstrapping_dataset", default=None,
+                   help="pickle of generated complexes (offline_dataset) mixed into training "
+                        "(reference train.py --add_bootstrapping_dataset)")
+    p.add_argument("--bootstrapping_temperature", type=float, default=1.0)
     p.add_argument("--workdir", default="workdir/run")
     p.add_argument("--config", default=None, help="yaml overlay for the model config")
     p.add_argument("--n_epochs", type=int, default=100)
@@ -99,7 +112,24 @@ def main(argv=None):
     entries = discover_dir(args.data_dir, _names(args.split_train))
     if args.limit_complexes:
         entries = entries[: args.limit_complexes]
-    train_ds = ComplexDataset(entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms)
+    if args.dataset == "dir":
+        train_ds = ComplexDataset(entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms)
+    else:
+        from ..data.pdbbind import construct_loader_entries
+
+        train_ds = construct_loader_entries(args)
+        for d in train_ds.datasets:
+            if hasattr(d, "print_statistics"):
+                d.print_statistics()
+    if args.add_bootstrapping_dataset:
+        from ..bootstrapping.offline_dataset import BootstrappingDataset
+        from ..data.pdbbind import CombinedDataset
+
+        with open(args.add_bootstrapping_dataset, "rb") as f:
+            kept = pickle.load(f)
+        boot = BootstrappingDataset(kept, temperature=args.bootstrapping_temperature, seed=args.seed)
+        train_ds = CombinedDataset(train_ds, boot)
+        print(f"mixed in {len(boot)} bootstrapped complexes")
     val_entries = discover_dir(args.data_dir, _names(args.split_val)) if args.split_val else entries[: max(1, len(entries) // 10)]
     val_ds = ComplexDataset(val_entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms)
     print(f"train {len(train_ds)} complexes, val {len(val_ds)}")

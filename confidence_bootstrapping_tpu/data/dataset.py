@@ -111,23 +111,42 @@ class ComplexDataset:
             groups.setdefault(tuple(b), []).append(pad_complex(hc, b, lm_dim=lm))
         return groups
 
+    def get(self, idx: int) -> HostComplex:
+        return self.complexes[idx]
+
     def epoch_batches(self, batch_size: int, rng: np.random.RandomState, drop_last: bool = False):
         """Shuffled padded batches, one bucket per batch (compile reuse)."""
         groups = self.padded_by_bucket()
-        batches = []
-        for items in groups.values():
-            idx = rng.permutation(len(items))
-            for s in range(0, len(items), batch_size):
-                sel = idx[s : s + batch_size]
-                if drop_last and len(sel) < batch_size:
-                    continue
-                # pad the batch to full size by repeating (static shapes)
-                chosen = [items[i] for i in sel]
-                while len(chosen) < batch_size:
-                    chosen.append(chosen[len(chosen) % len(sel)])
-                batches.append(batch_complexes(chosen))
-        rng.shuffle(batches)
-        return batches
+        padded = [p for items in groups.values() for p in items]
+        return batches_from_padded(padded, batch_size, rng, drop_last=drop_last)
+
+
+def padded_signature(p: dict) -> tuple:
+    """Hashable shape signature of a padded complex dict: items batch
+    together iff every array shape matches (same bucket, same lm dim,
+    same optional keys)."""
+    return tuple(sorted((k, np.asarray(v).shape) for k, v in p.items()))
+
+
+def batches_from_padded(padded, batch_size: int, rng: np.random.RandomState, drop_last: bool = False):
+    """Group padded complex dicts by shape signature and stack shuffled
+    fixed-size batches (short tails repeated to keep static shapes)."""
+    groups: Dict[tuple, List[dict]] = {}
+    for p in padded:
+        groups.setdefault(padded_signature(p), []).append(p)
+    batches = []
+    for items in groups.values():
+        idx = rng.permutation(len(items))
+        for s in range(0, len(items), batch_size):
+            sel = idx[s : s + batch_size]
+            if drop_last and len(sel) < batch_size:
+                continue
+            chosen = [items[i] for i in sel]
+            while len(chosen) < batch_size:
+                chosen.append(chosen[len(chosen) % len(sel)])
+            batches.append(batch_complexes(chosen))
+    rng.shuffle(batches)
+    return batches
 
 
 def discover_dir(data_dir: str, names: Optional[Sequence[str]] = None, protein_suffix="_protein_processed.pdb"):

@@ -78,6 +78,40 @@ class CombinedDataset:
             idx -= len(d)
         raise IndexError
 
+    def lm_dim(self) -> int:
+        dims = [0]
+        for d in self.datasets:
+            if hasattr(d, "lm_dim"):
+                dims.append(d.lm_dim())
+            elif hasattr(d, "dataset"):
+                dims.append(d.dataset.lm_dim())
+            elif getattr(d, "items", None):
+                dims.append(int(np.asarray(d.items[0][0]["rec_lm"]).shape[-1]))
+        return max(dims)
+
+    def epoch_batches(self, batch_size: int, rng: np.random.RandomState, drop_last: bool = False):
+        """One pass over all sub-datasets (cluster-random MOAD access,
+        confidence-weighted bootstrapping access) -> shuffled padded
+        batches. Items may be HostComplex (padded here) or already-padded
+        dicts (BootstrappingDataset); shape signatures keep buckets apart."""
+        from .complex_graph import pad_complex, pick_bucket
+        from .dataset import batches_from_padded
+
+        lm = self.lm_dim()
+        padded = []
+        for i in rng.permutation(len(self)):
+            it = self.get(int(i))
+            if isinstance(it, dict):
+                padded.append(it)
+            else:
+                b = pick_bucket(
+                    len(it.lig_f), len(it.lig_edge_src), len(it.tor_src), len(it.rec_f),
+                    n_atoms=0 if it.atom_f is None else len(it.atom_f),
+                    all_atoms=it.atom_f is not None,
+                )
+                padded.append(pad_complex(it, b, lm_dim=lm))
+        return batches_from_padded(padded, batch_size, rng, drop_last=drop_last)
+
 
 def construct_loader_entries(args_like) -> CombinedDataset:
     """Dataset selection logic (reference datasets/loader.py:34-129):
@@ -87,9 +121,13 @@ def construct_loader_entries(args_like) -> CombinedDataset:
     ds = []
     mode = getattr(args_like, "dataset", "pdbbind")
     if mode in ("pdbbind", "combined", "generalisation"):
+        if not getattr(args_like, "pdbbind_dir", None):
+            raise ValueError(f"--dataset {mode} requires --pdbbind_dir")
         ds.append(PDBBindDataset(args_like.pdbbind_dir, getattr(args_like, "split_train", None),
                                  cache_path=getattr(args_like, "cache_path", "cache")))
     if mode in ("moad", "combined", "generalisation"):
+        if not getattr(args_like, "moad_dir", None):
+            raise ValueError(f"--dataset {mode} requires --moad_dir")
         ds.append(MOADDataset(args_like.moad_dir,
                               getattr(args_like, "moad_splits_pkl", None),
                               getattr(args_like, "cluster_to_ligands_pkl", None),
