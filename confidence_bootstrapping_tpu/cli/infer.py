@@ -49,6 +49,10 @@ def get_parser():
     p.add_argument("--limit_failures", type=int, default=5)
     p.add_argument("--no_final_step_noise", action="store_true")
     p.add_argument("--ode", action="store_true")
+    p.add_argument("--xtb", action="store_true",
+                   help="relax sampled poses with the xtb binary when present (reference inference.py:44,489-494)")
+    p.add_argument("--obrms", action="store_true",
+                   help="also compute obrms (OpenBabel) RMSDs when the binary is present (reference utils/utils.py:27-43)")
     p.add_argument("--out_dir", default="results/eval")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--esm_embeddings_path", default=None)
@@ -147,7 +151,20 @@ def main(argv=None):
 
             poses = np.concatenate(poses_list)
             confs = np.concatenate(confs_list)
+            if args.xtb:
+                from ..eval import relax as relax_mod
+
+                for i in range(len(poses)):
+                    relaxed = relax_mod.xtb_relax(heavy, poses[i])
+                    if relaxed is not None:
+                        poses[i] = relaxed
             rmsds = rmsd_mod.symmetry_rmsd(hc.orig_lig_pos, poses, heavy.atomic_nums, heavy.bonds)
+            if args.obrms:
+                from ..eval import relax as relax_mod
+
+                ob = relax_mod.obrms(lig_path, heavy, poses)
+                if ob is not None:
+                    print(f"{name}: obrms mean {ob.mean():.2f} A (sym-rmsd mean {rmsds.mean():.2f} A)")
             cent = np.linalg.norm(poses.mean(axis=1) - hc.orig_lig_pos.mean(axis=0), axis=-1)
             self_d = np.asarray([metrics_mod.min_self_distance(p, heavy.bonds) for p in poses])
 

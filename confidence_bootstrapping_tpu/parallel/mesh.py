@@ -44,3 +44,49 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# 2-D data x model (tensor-parallel) sharding
+#
+# The reference has no model parallelism at all (DP is its only strategy);
+# this is a TPU-native extension: channel-dim sharding of the weight
+# matrices over a 'model' mesh axis, with XLA/GSPMD inserting the
+# all-gathers/psums on ICI. The rule is purely shape-based so it applies
+# uniformly to params, EMA copies and Adam mu/nu trees without knowing the
+# tree structure: any leaf whose last dim divides the model-axis size (and
+# is at least `min_size`) is sharded on that dim; 1-D leaves (biases, batch
+# norm stats) and small tables stay replicated.
+# ---------------------------------------------------------------------------
+
+
+def make_mesh_2d(n_data: int, n_model: int, axis_names=("data", "model")) -> Mesh:
+    devices = jax.devices()[: n_data * n_model]
+    if len(devices) < n_data * n_model:
+        raise ValueError(f"need {n_data * n_model} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(n_data, n_model), axis_names)
+
+
+def _leaf_spec(x, n_model: int, model_axis: str, min_size: int) -> P:
+    shape = getattr(x, "shape", ())
+    if len(shape) >= 2 and shape[-1] >= min_size and shape[-1] % n_model == 0:
+        return P(*([None] * (len(shape) - 1) + [model_axis]))
+    return P()
+
+
+def model_parallel_specs(tree, mesh: Mesh, model_axis: str = "model", min_size: int = 8):
+    """PartitionSpec tree for tensor parallelism (shape-based rule)."""
+    n_model = mesh.shape[model_axis]
+    return jax.tree.map(lambda x: _leaf_spec(x, n_model, model_axis, min_size), tree)
+
+
+def shard_model_tree(mesh: Mesh, tree, model_axis: str = "model", min_size: int = 8):
+    """Place a parameter-like tree (TrainState, params, opt state) with
+    channel dims sharded over the model axis, everything else replicated."""
+    n_model = mesh.shape[model_axis]
+
+    def put(x):
+        spec = _leaf_spec(x, n_model, model_axis, min_size)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)

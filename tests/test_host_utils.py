@@ -94,3 +94,18 @@ def test_blacklist_filters_waters(tmp_path):
     pdb = tmp_path / "w.pdb"
     pdb.write_text("\n".join(lines) + "\n")
     assert preprocess_pdb.extract_hetero_ligands(str(pdb)) == []
+
+
+def test_relax_hooks_degrade_without_binaries():
+    """obrms/xtb hooks (eval/relax.py) return None when binaries are absent."""
+    import numpy as np
+    from confidence_bootstrapping_tpu.data.mol_io import Molecule
+    from confidence_bootstrapping_tpu.eval import relax
+
+    pos = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+    mol = Molecule(np.full(5, 6), pos, [(i, i + 1, 1) for i in range(4)], np.zeros(5, dtype=int))
+    assert not relax.have_binary("definitely_not_a_binary_xyz")
+    if not relax.have_binary("obrms"):
+        assert relax.obrms("/nonexistent.sdf", mol, pos[None]) is None
+    if not relax.have_binary("xtb"):
+        assert relax.xtb_relax(mol, pos) is None
