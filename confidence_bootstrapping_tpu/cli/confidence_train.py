@@ -66,6 +66,9 @@ def build_targets(args, names_file, all_atoms):
 
 
 def main(argv=None):
+    from ..runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_parser().parse_args(argv)
     os.makedirs(args.workdir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)

@@ -58,6 +58,15 @@ def load_or_init_model(model_dir, ckpt, example_batch, default_cfg=None):
     """Load a trained model dir, or initialize fresh weights from a config."""
     if model_dir and os.path.exists(os.path.join(model_dir, checkpoints.CONFIG_NAME)):
         cfg = load_score_config(os.path.join(model_dir, checkpoints.CONFIG_NAME))
+    elif model_dir and os.path.exists(os.path.join(model_dir, "model_parameters.yml")):
+        # reference model-dir layout: translate the argparse manifest
+        import yaml
+
+        from ..models.factory import config_from_reference_manifest
+
+        with open(os.path.join(model_dir, "model_parameters.yml")) as f:
+            cfg = config_from_reference_manifest(yaml.safe_load(f) or {})
+        print(f"translated reference manifest {model_dir}/model_parameters.yml")
     else:
         cfg = default_cfg or ScoreModelConfig()
     model = TensorProductScoreModel(cfg)
@@ -91,6 +100,9 @@ def load_esm_for_structure(path, structure):
 
 
 def main(argv=None):
+    from ..runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_parser().parse_args(argv)
     if args.protein_ligand_csv:
         import csv

@@ -64,6 +64,9 @@ def get_parser():
 
 
 def main(argv=None):
+    from ..runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_parser().parse_args(argv)
     cb_kwargs = dict(
         cb_cluster=args.cb_cluster or "",

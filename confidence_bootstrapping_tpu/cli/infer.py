@@ -88,6 +88,9 @@ def discover_complexes(args) -> List[Tuple[str, str, str]]:
 
 
 def main(argv=None):
+    from ..runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_parser().parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     complexes = discover_complexes(args)

@@ -57,7 +57,9 @@ def get_parser():
     p.add_argument("--inference_samples", type=int, default=4)
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--inference_earlystop_patience", type=int, default=30)
-    p.add_argument("--restart_dir", default=None)
+    p.add_argument("--restart_dir", default=None, help="resume params+EMA from last_model in this dir")
+    p.add_argument("--pretrain_dir", default=None,
+                   help="initialize weights only (fresh optimizer/EMA; reference train.py:208-211)")
     p.add_argument("--warmup_dur", type=int, default=0, help="linear LR warmup epochs (reference lr_start_factor)")
     p.add_argument("--lr_start_factor", type=float, default=1e-3)
     p.add_argument("--layer_warmup", type=int, default=0,
@@ -99,6 +101,9 @@ def inference_benchmark(model, variables, dataset, model_cfg, n_complexes, n_sam
 
 
 def main(argv=None):
+    from ..runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_parser().parse_args(argv)
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -140,12 +145,21 @@ def main(argv=None):
     example = train_ds.epoch_batches(args.batch_size, np.random.RandomState(0))[0]
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
 
+    if args.pretrain_dir and checkpoints.has_checkpoint(args.pretrain_dir):
+        variables = checkpoints.load_params(os.path.join(args.pretrain_dir, "last_model.msgpack"), dict(variables))
+        print(f"initialized weights from {args.pretrain_dir}")
     state = train_loop.init_train_state(variables, tcfg)
-    if args.restart_dir and checkpoints.has_checkpoint(args.restart_dir):
-        v = dict(variables)
-        v = checkpoints.load_params(os.path.join(args.restart_dir, "last_model.msgpack"), v)
-        state = state._replace(params=v["params"], batch_stats=v.get("batch_stats", state.batch_stats), ema_params=v["params"])
-        print(f"restarted from {args.restart_dir}")
+    start_epoch = 0
+    if args.restart_dir:
+        restored, ep = checkpoints.load_train_state(args.restart_dir, state)
+        if restored is not None:
+            state, start_epoch = restored, ep + 1
+            print(f"restored full train state (params+opt+EMA) from {args.restart_dir}, resuming at epoch {start_epoch}")
+        elif checkpoints.has_checkpoint(args.restart_dir):
+            v = dict(variables)
+            v = checkpoints.load_params(os.path.join(args.restart_dir, "last_model.msgpack"), v)
+            state = state._replace(params=v["params"], batch_stats=v.get("batch_stats", state.batch_stats), ema_params=v["params"])
+            print(f"restarted (weights only) from {args.restart_dir}")
 
     dp_mesh = meshlib.make_mesh() if args.data_parallel else None
     train_step = train_loop.make_train_step(model, model_cfg, tcfg)
@@ -170,7 +184,7 @@ def main(argv=None):
 
     best_val, best_inf, bad_epochs = np.inf, -np.inf, 0
     history = []
-    for epoch in range(args.n_epochs):
+    for epoch in range(start_epoch, args.n_epochs):
         t0 = time.time()
         batches = train_ds.epoch_batches(args.batch_size, rng)
         if dp_mesh is not None:
@@ -215,6 +229,7 @@ def main(argv=None):
             save("best_ema_model", state.ema_params)
         state = scheduler.step(state, val_metrics["loss"])
         save("last_model", state.params)
+        checkpoints.save_train_state(args.workdir, state, epoch)
         save("last_ema_model", state.ema_params)
         history.append(entry)
         if wandb_run is not None:

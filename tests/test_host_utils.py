@@ -109,3 +109,27 @@ def test_relax_hooks_degrade_without_binaries():
         assert relax.obrms("/nonexistent.sdf", mol, pos[None]) is None
     if not relax.have_binary("xtb"):
         assert relax.xtb_relax(mol, pos) is None
+
+
+def test_reference_manifest_translation():
+    """models/factory.py config_from_reference_manifest maps both shipped
+    reference manifests onto our typed config (back-compat defaulting)."""
+    import yaml
+    from confidence_bootstrapping_tpu.models.factory import config_from_reference_manifest
+
+    score = yaml.safe_load(open("/root/reference/workdir/pretrained_score/model_parameters.yml"))
+    cfg = config_from_reference_manifest(score)
+    assert cfg.ns == 32 and cfg.nv == 6 and cfg.sh_lmax == 1
+    assert cfg.num_conv_layers == 5 and cfg.num_prot_emb_layers == 3
+    assert cfg.embed_also_ligand and cfg.reduce_pseudoscalars and not cfg.all_atoms
+    assert cfg.batch_norm and cfg.differentiate_convolutions and cfg.fixed_center_conv
+    assert cfg.sigma.tr_sigma_max == 19.0 and cfg.sigma.rot_sigma_min == 0.06
+    assert cfg.lm_embedding_dim == 1280  # esm path set in manifest
+
+    conf = yaml.safe_load(open("/root/reference/workdir/pretrained_confidence/model_parameters.yml"))
+    ccfg = config_from_reference_manifest(conf)
+    assert ccfg.all_atoms and ccfg.confidence_mode
+
+    # ancient manifest with almost nothing -> defaults, no crash
+    old = config_from_reference_manifest({"ns": 16, "no_batch_norm": True})
+    assert old.ns == 16 and not old.batch_norm and old.nv == 6

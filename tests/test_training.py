@@ -113,3 +113,35 @@ def test_layer_freeze_mask_and_masked_step():
     b0 = _jax.tree.leaves(state.params["conv_layers_1"])[0]
     b1 = _jax.tree.leaves(new_state.params["conv_layers_1"])[0]
     assert np.abs(np.asarray(b0) - np.asarray(b1)).max() > 0
+
+
+def test_tensor_parallel_train_step_matches_single_device():
+    """2-D data x model sharding (parallel/mesh.py): channel-sharded weights
+    over a (2, 2) mesh give the same loss/params as the unsharded step."""
+    from confidence_bootstrapping_tpu.parallel import mesh as meshlib
+
+    batch = make_random_batch(B=4)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    cfg = TrainConfig(lr=1e-3)
+    state = train_loop.init_train_state(variables, cfg)
+    step = train_loop.make_train_step(model, SMALL_CFG, cfg)
+
+    ref_state, ref_metrics = step(state, batch, jax.random.PRNGKey(1))
+
+    mesh2 = meshlib.make_mesh_2d(2, 2)
+    tp_state = meshlib.shard_model_tree(mesh2, state)
+    tp_batch = meshlib.shard_batch(mesh2, batch)
+    tp_new, tp_metrics = step(tp_state, tp_batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(tp_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4)
+    a = jax.tree.leaves(ref_state.params)
+    b = jax.tree.leaves(tp_new.params)
+    for x, y in zip(a, b):
+        # one adam step moves each param by ~±lr regardless of gradient
+        # magnitude (m/sqrt(v) = sign(g) after step 1), so reduction-order
+        # sign flips on near-zero grads bound the tolerance at 2*lr.
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2.5e-3)
+    # at least one kernel actually sharded over the model axis
+    specs = jax.tree.leaves(meshlib.model_parallel_specs(state.params, mesh2))
+    assert any(s != jax.sharding.PartitionSpec() for s in specs)
