@@ -53,6 +53,8 @@ def get_parser():
                    help="relax sampled poses with the xtb binary when present (reference inference.py:44,489-494)")
     p.add_argument("--obrms", action="store_true",
                    help="also compute obrms (OpenBabel) RMSDs when the binary is present (reference utils/utils.py:27-43)")
+    p.add_argument("--save_complexes", action="store_true",
+                   help="save all sampled poses per complex as npy (reference inference.py:586-590)")
     p.add_argument("--out_dir", default="results/eval")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--esm_embeddings_path", default=None)
@@ -176,6 +178,9 @@ def main(argv=None):
             all_centroids.append(cent)
             all_confidences.append(confs)
             all_self.append(self_d)
+            if args.save_complexes:
+                os.makedirs(f"{args.out_dir}/poses", exist_ok=True)
+                np.save(f"{args.out_dir}/poses/{name}.npy", poses)
             print(f"{name}: min rmsd {rmsds.min():.2f} A, top-conf rmsd {rmsds[np.argmax(confs)]:.2f} A, "
                   f"{run_times[-1]:.1f}s")
         except Exception as e:

@@ -99,3 +99,52 @@ def compute_embeddings(structures: Dict[str, ProteinStructure], model_name: str 
             chunks.append(rep[0, 1 : len(seq) + 1].numpy())
         out[name] = np.concatenate(chunks, axis=0)
     return out
+
+
+def main(argv=None):
+    """CLI covering the reference's per-dataset prep scripts
+    (``datasets/esm_embedding_preparation.py``, ``*_lm_embedding_preparation*``,
+    ``esm_embeddings_to_pt.py``): stage 1 writes the dedup FASTA + mapping
+    pickle from a complex directory; stage 2 (--fold) folds an ESM extract
+    output dir into the single ``.pt`` consumed at featurization."""
+    import argparse
+    import pickle
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--data_dir", help="dir of {name}/{name}_protein_processed.pdb complexes")
+    p.add_argument("--protein_suffix", default="_protein_processed.pdb")
+    p.add_argument("--out_fasta", default="sequences_to_id.fasta")
+    p.add_argument("--mapping_out", default="esm_mapping.pkl")
+    p.add_argument("--fold", action="store_true", help="stage 2: fold extract outputs to one .pt")
+    p.add_argument("--extract_dir", default=None)
+    p.add_argument("--mapping", default=None)
+    p.add_argument("--out_pt", default="esm_embeddings.pt")
+    p.add_argument("--repr_layer", type=int, default=33)
+    args = p.parse_args(argv)
+
+    if args.fold:
+        with open(args.mapping or args.mapping_out, "rb") as f:
+            mapping = pickle.load(f)
+        out = fold_esm_outputs(args.extract_dir, mapping, args.out_pt, repr_layer=args.repr_layer)
+        print(f"wrote {args.out_pt}: {len(out)} complexes")
+        return
+
+    if not args.data_dir:
+        raise SystemExit("provide --data_dir (stage 1) or --fold (stage 2)")
+    structures = {}
+    for n in sorted(os.listdir(args.data_dir)):
+        pdb = os.path.join(args.data_dir, n, f"{n}{args.protein_suffix}")
+        if os.path.exists(pdb):
+            try:
+                structures[n] = parse_pdb(pdb)
+            except Exception as e:
+                print(f"skipping {n}: {type(e).__name__}: {e}")
+    mapping = write_dedup_fasta(structures, args.out_fasta)
+    with open(args.mapping_out, "wb") as f:
+        pickle.dump(mapping, f)
+    print(f"wrote {args.out_fasta} ({len(set(mapping.values()))} unique sequences, "
+          f"{len(mapping)} chains over {len(structures)} complexes) + {args.mapping_out}")
+
+
+if __name__ == "__main__":
+    main()
