@@ -49,6 +49,32 @@ def get_parser():
     p.add_argument("--limit_failures", type=int, default=5)
     p.add_argument("--no_final_step_noise", action="store_true")
     p.add_argument("--ode", action="store_true")
+    # low-temperature sampling (reference inference.py:199-205)
+    p.add_argument("--temp_sampling_tr", type=float, default=1.0)
+    p.add_argument("--temp_sampling_rot", type=float, default=1.0)
+    p.add_argument("--temp_sampling_tor", type=float, default=1.0)
+    p.add_argument("--temp_psi_tr", type=float, default=0.0)
+    p.add_argument("--temp_psi_rot", type=float, default=0.0)
+    p.add_argument("--temp_psi_tor", type=float, default=0.0)
+    p.add_argument("--temp_sigma_data", type=float, default=0.5)
+    p.add_argument("--sigma_schedule", default="expbeta")
+    p.add_argument("--inf_sched_alpha", type=float, default=1.0)
+    p.add_argument("--inf_sched_beta", type=float, default=1.0)
+    p.add_argument("--initial_noise_std_proportion", type=float, default=1.0)
+    p.add_argument("--pocket_knowledge", action="store_true")
+    p.add_argument("--pocket_cutoff", type=float, default=7.0)
+    # SVGD particle coupling (reference inference.py:185-197)
+    p.add_argument("--svgd_weight_log_0", type=float, default=None)
+    p.add_argument("--svgd_weight_log_1", type=float, default=None)
+    p.add_argument("--svgd_repulsive_weight_log_0", type=float, default=None)
+    p.add_argument("--svgd_repulsive_weight_log_1", type=float, default=None)
+    p.add_argument("--svgd_kernel_size_log_0", type=float, default=None)
+    p.add_argument("--svgd_kernel_size_log_1", type=float, default=None)
+    p.add_argument("--svgd_langevin_weight_log_0", type=float, default=None)
+    p.add_argument("--svgd_langevin_weight_log_1", type=float, default=None)
+    p.add_argument("--svgd_rot_log_rel_weight", type=float, default=0.0)
+    p.add_argument("--svgd_tor_log_rel_weight", type=float, default=0.0)
+    p.add_argument("--svgd_use_x0", action="store_true")
     p.add_argument("--xtb", action="store_true",
                    help="relax sampled poses with the xtb binary when present (reference inference.py:44,489-494)")
     p.add_argument("--obrms", action="store_true",
@@ -100,7 +126,29 @@ def main(argv=None):
 
     N = args.samples_per_complex
     sampler_cfg = SamplerConfig(
-        inference_steps=args.inference_steps, no_final_step_noise=args.no_final_step_noise, ode=args.ode
+        inference_steps=args.inference_steps,
+        no_final_step_noise=args.no_final_step_noise,
+        ode=args.ode,
+        sigma_schedule=args.sigma_schedule,
+        inf_sched_alpha=args.inf_sched_alpha,
+        inf_sched_beta=args.inf_sched_beta,
+        temp_sampling=(args.temp_sampling_tr, args.temp_sampling_rot, args.temp_sampling_tor),
+        temp_psi=(args.temp_psi_tr, args.temp_psi_rot, args.temp_psi_tor),
+        temp_sigma_data=args.temp_sigma_data,
+        initial_noise_std_proportion=args.initial_noise_std_proportion,
+        pocket_knowledge=args.pocket_knowledge,
+        pocket_cutoff=args.pocket_cutoff,
+        svgd_weight_log_0=args.svgd_weight_log_0,
+        svgd_weight_log_1=args.svgd_weight_log_1,
+        svgd_repulsive_weight_log_0=args.svgd_repulsive_weight_log_0,
+        svgd_repulsive_weight_log_1=args.svgd_repulsive_weight_log_1,
+        svgd_kernel_size_log_0=args.svgd_kernel_size_log_0,
+        svgd_kernel_size_log_1=args.svgd_kernel_size_log_1,
+        svgd_langevin_weight_log_0=args.svgd_langevin_weight_log_0,
+        svgd_langevin_weight_log_1=args.svgd_langevin_weight_log_1,
+        svgd_rot_log_rel_weight=args.svgd_rot_log_rel_weight,
+        svgd_tor_log_rel_weight=args.svgd_tor_log_rel_weight,
+        svgd_use_x0=args.svgd_use_x0,
     )
     key = jax.random.PRNGKey(args.seed)
 
@@ -136,7 +184,11 @@ def main(argv=None):
                 try:
                     batch = replicate_complex(padded, n)
                     key, k1, k2 = jax.random.split(key, 3)
-                    batch = sampling.randomize_position(batch, k1, cfg.sigma.tr_sigma_max)
+                    batch = sampling.randomize_position(
+                        batch, k1, cfg.sigma.tr_sigma_max,
+                        pocket_knowledge=args.pocket_knowledge,
+                        initial_noise_std_proportion=args.initial_noise_std_proportion,
+                    )
                     final, _ = sampling.sample_jit(model, variables, batch, k2, cfg, sampler_cfg)
                     pos = np.asarray(final.lig_pos)[:, : len(hc.lig_f)]
                     if cmodel is not None:
