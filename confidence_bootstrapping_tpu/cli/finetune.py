@@ -53,6 +53,14 @@ def get_parser():
     p.add_argument("--fixed_length", type=int, default=100)
     p.add_argument("--minimum_t", type=float, default=0.0)
     p.add_argument("--oracle_confidence", action="store_true")
+    # buffer knobs (reference bootstrapping/parsing.py:155-170)
+    p.add_argument("--max_complexes_per_couple", type=int, default=5)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--buffer_decay", type=float, default=0.0)
+    p.add_argument("--reset_buffer", action="store_true")
+    p.add_argument("--sampling_mixing_coeff", type=float, default=0.0)
+    p.add_argument("--sampling_alpha", type=float, default=2.0)
+    p.add_argument("--sampling_beta", type=float, default=1.0)
     p.add_argument("--keep_original_train", action="store_true",
                    help="mix original-trainset batches into finetuning (paper-repro recipe)")
     p.add_argument("--original_train_dir", default=None)
@@ -80,6 +88,13 @@ def main(argv=None):
         fixed_length=args.fixed_length,
         minimum_t=args.minimum_t,
         oracle_confidence=args.oracle_confidence,
+        max_complexes_per_couple=args.max_complexes_per_couple,
+        temperature=args.temperature,
+        buffer_decay=args.buffer_decay,
+        reset_buffer=args.reset_buffer,
+        sampling_mixing_coeff=args.sampling_mixing_coeff,
+        sampling_alpha=args.sampling_alpha,
+        sampling_beta=args.sampling_beta,
     )
     if args.config:
         with open(args.config) as f:

@@ -58,6 +58,213 @@ def torch_atom_encoder(sd: Dict[str, Any], prefix: str, n_features: int) -> Dict
 L1_PERM = np.array([2, 0, 1])  # e3nn (y, z, x) -> ours (x, y, z)
 
 
+def torch_tpconv(sd: Dict[str, Any], prefix: str, irreps_out: str, n_groups: int = 1,
+                 depth: int = 2, batch_norm: bool = True) -> "tuple[Dict, Dict]":
+    """Reference TensorProductConvLayer -> our TPConv (params, batch_stats).
+
+    fc (or fc.{g} with edge_groups) FCBlocks map Dense-for-Dense (the TP
+    weight column grouping is identical, see module docstring); the e3nn
+    BatchNorm running stats split into our (mean, var, norm) by irrep kind.
+    """
+    params: Dict[str, Any] = {}
+    if n_groups == 1 and f"{prefix}.fc.0.weight" in sd:
+        params["edge_mlps_0"] = torch_fcblock(sd, f"{prefix}.fc", depth)
+    else:
+        for g in range(n_groups):
+            params[f"edge_mlps_{g}"] = torch_fcblock(sd, f"{prefix}.fc.{g}", depth)
+    stats: Dict[str, Any] = {}
+    if batch_norm and f"{prefix}.batch_norm.weight" in sd:
+        bn_p, bn_s = torch_bn_irreps(sd, f"{prefix}.batch_norm", irreps_out)
+        params["bn"] = bn_p
+        stats["bn"] = bn_s
+    return params, stats
+
+
+def torch_bn_irreps(sd: Dict[str, Any], prefix: str, irreps: str) -> "tuple[Dict, Dict]":
+    """e3nn BatchNorm buffers -> BatchNormIrreps params + batch_stats.
+
+    e3nn keeps running_mean over 0e features and running_var over every
+    irrep instance (one per mul); ours splits running_var into `var` (0e)
+    and `norm` (everything else, incl. 0o pseudoscalars) in irreps order.
+    Per-mul affine weights and scalar biases map directly; no l=1 basis
+    permutation is needed (all BN statistics are per-mul, component-free).
+    """
+    from ..ops.irreps import Irreps
+
+    weight = np.asarray(sd[f"{prefix}.weight"])
+    bias = np.asarray(sd[f"{prefix}.bias"])
+    running_mean = np.asarray(sd[f"{prefix}.running_mean"])
+    running_var = np.asarray(sd[f"{prefix}.running_var"])
+
+    var_parts, norm_parts = [], []
+    i = 0
+    for mul, ir in Irreps(irreps):
+        chunk = running_var[i : i + mul]
+        (var_parts if (ir.l == 0 and ir.p == 1) else norm_parts).append(chunk)
+        i += mul
+    params = {"weight": weight, "bias": bias}
+    stats = {
+        "mean": running_mean,
+        "var": np.concatenate(var_parts) if var_parts else np.zeros((0,), np.float32),
+        "norm": np.concatenate(norm_parts) if norm_parts else np.zeros((0,), np.float32),
+    }
+    return params, stats
+
+
+def torch_seq_mlp(sd: Dict[str, Any], prefix: str, linear_idx) -> Dict[str, Any]:
+    """torch Sequential with Linears at the given indices -> {Dense_i}."""
+    out = {}
+    for j, idx in enumerate(linear_idx):
+        out[f"Dense_{j}"] = torch_linear(sd, f"{prefix}.{idx}")
+    return out
+
+
+def torch_confidence_head(sd: Dict[str, Any], prefix: str, batch_norm: bool = True) -> "tuple[Dict, Dict]":
+    """Reference confidence_predictor Sequential (Linear@0, BN1d@1, ReLU,
+    Dropout, Linear@4, BN1d@5, ReLU, Dropout, Linear@8) -> ConfidenceHead."""
+    params = torch_seq_mlp(sd, prefix, (0, 4, 8))
+    stats: Dict[str, Any] = {}
+    if batch_norm and f"{prefix}.1.weight" in sd:
+        for j, idx in enumerate((1, 5)):
+            params[f"MaskedBatchNorm1d_{j}"] = {
+                "scale": np.asarray(sd[f"{prefix}.{idx}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.{idx}.bias"]),
+            }
+            stats[f"MaskedBatchNorm1d_{j}"] = {
+                "mean": np.asarray(sd[f"{prefix}.{idx}.running_mean"]),
+                "var": np.asarray(sd[f"{prefix}.{idx}.running_var"]),
+            }
+    return params, stats
+
+
+def convert_score_model(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Full reference ``TensorProductScoreModel`` state dict -> flax
+    variables {params, batch_stats} for our model (score or confidence
+    mode; coarse-grained architecture, models/score_model.py).
+
+    Raises KeyError when an expected reference key is missing — run against
+    a state dict saved from the reference repo (``model.state_dict()`` of
+    ``utils/utils.py:get_model``'s module).
+    """
+    from .score_model import get_irrep_seq
+
+    c = cfg
+    seq = get_irrep_seq(c.ns, c.nv, c.use_second_order_repr, c.reduce_pseudoscalars)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    from ..data.vocab import LIG_FEATURE_DIMS, REC_RESIDUE_FEATURE_DIMS
+
+    params["lig_node_embedding"] = torch_atom_encoder(sd, "lig_node_embedding", len(LIG_FEATURE_DIMS))
+    params["rec_node_embedding"] = torch_atom_encoder(sd, "rec_node_embedding", len(REC_RESIDUE_FEATURE_DIMS))
+    for name in ("lig_edge_embedding", "rec_edge_embedding", "rec_sigma_embedding", "cross_edge_embedding"):
+        params[name] = torch_fcblock(sd, name)
+
+    def add_tpconv(our_name, ref_prefix, irreps_out, n_groups=1):
+        p, s = torch_tpconv(sd, ref_prefix, irreps_out, n_groups,
+                            depth=c.tp_weights_layers, batch_norm=c.batch_norm)
+        params[our_name] = p
+        if s:
+            stats[our_name] = s
+
+    for i in range(c.num_prot_emb_layers):
+        add_tpconv(f"rec_emb_layers_{i}", f"rec_emb_layers.{i}", seq[min(i + 1, 3)])
+        if getattr(c, "embed_also_ligand", True):
+            add_tpconv(f"lig_emb_layers_{i}", f"lig_emb_layers.{i}", seq[min(i + 1, 3)])
+
+    P, C = c.num_prot_emb_layers, c.num_conv_layers
+    for k, i in enumerate(range(P, P + C)):
+        last = i == P + C - 1
+        groups = (2 if last else 4) if c.differentiate_convolutions else 1
+        add_tpconv(f"conv_layers_{k}", f"conv_layers.{k}", seq[min(i + 1, 3)], groups)
+
+    if c.confidence_mode:
+        p, s = torch_confidence_head(sd, "confidence_predictor", not c.confidence_no_batchnorm)
+        params["confidence_predictor"] = p
+        if s:
+            stats["confidence_predictor"] = s
+        if c.atom_confidence:
+            p, s = torch_confidence_head(sd, "atom_confidence_predictor", not c.confidence_no_batchnorm)
+            params["atom_confidence_predictor"] = p
+            if s:
+                stats["atom_confidence_predictor"] = s
+    else:
+        params["center_edge_embedding"] = torch_fcblock(sd, "center_edge_embedding")
+        add_tpconv("final_conv", "final_conv", "2x1o + 2x1e" if not c.odd_parity else "1x1o + 1x1e")
+        params["tr_final_layer"] = torch_seq_mlp(sd, "tr_final_layer", (0, 3))
+        params["rot_final_layer"] = torch_seq_mlp(sd, "rot_final_layer", (0, 3))
+        if not c.no_torsion:
+            params["final_edge_embedding"] = torch_fcblock(sd, "final_edge_embedding")
+            add_tpconv("tor_bond_conv", "tor_bond_conv",
+                       f"{c.ns}x0o + {c.ns}x0e" if not c.odd_parity else f"{c.ns}x0o")
+            params["tor_final_layer"] = torch_seq_mlp(sd, "tor_final_layer", (0, 3))
+
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_all_atom_model(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Reference ``AAScoreModel`` (models/all_atom_score_model.py) state dict
+    -> flax variables for our AllAtomScoreModel — the pretrained confidence
+    architecture. Separate ``affinity_predictor`` modules are not mapped
+    (our head folds affinity into confidence_predictor's last column)."""
+    from .score_model import get_irrep_seq
+
+    c = cfg
+    seq = get_irrep_seq(c.ns, c.nv, c.use_second_order_repr, c.reduce_pseudoscalars)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    from ..data.vocab import LIG_FEATURE_DIMS, REC_ATOM_FEATURE_DIMS, REC_RESIDUE_FEATURE_DIMS
+
+    params["lig_node_embedding"] = torch_atom_encoder(sd, "lig_node_embedding", len(LIG_FEATURE_DIMS))
+    params["rec_node_embedding"] = torch_atom_encoder(sd, "rec_node_embedding", len(REC_RESIDUE_FEATURE_DIMS))
+    params["atom_node_embedding"] = torch_atom_encoder(sd, "atom_node_embedding", len(REC_ATOM_FEATURE_DIMS))
+    for name in ("lig_edge_embedding", "rec_edge_embedding", "rec_sigma_embedding",
+                 "atom_edge_embedding", "lr_edge_embedding", "ar_edge_embedding", "la_edge_embedding"):
+        params[name] = torch_fcblock(sd, name)
+
+    def add_tpconv(our_name, ref_prefix, irreps_out, n_groups=1):
+        p, s = torch_tpconv(sd, ref_prefix, irreps_out, n_groups,
+                            depth=c.tp_weights_layers, batch_norm=c.batch_norm)
+        params[our_name] = p
+        if s:
+            stats[our_name] = s
+
+    P, C = c.num_prot_emb_layers, c.num_conv_layers
+    for i in range(P):
+        add_tpconv(f"rec_emb_layers_{i}", f"rec_emb_layers.{i}", seq[min(i + 1, 3)],
+                   4 if c.differentiate_convolutions else 1)
+        if getattr(c, "embed_also_ligand", True):
+            add_tpconv(f"lig_emb_layers_{i}", f"lig_emb_layers.{i}", seq[min(i + 1, 3)])
+    for k, i in enumerate(range(P, P + C)):
+        last = i == P + C - 1
+        groups = ((3 if last else 9) if c.differentiate_convolutions else 1)
+        add_tpconv(f"conv_layers_{k}", f"conv_layers.{k}", seq[min(i + 1, 3)], groups)
+
+    if c.confidence_mode:
+        p, s = torch_confidence_head(sd, "confidence_predictor", not c.confidence_no_batchnorm)
+        params["confidence_predictor"] = p
+        if s:
+            stats["confidence_predictor"] = s
+        if c.atom_confidence:
+            p, s = torch_confidence_head(sd, "atom_confidence_predictor", not c.confidence_no_batchnorm)
+            params["atom_confidence_predictor"] = p
+            if s:
+                stats["atom_confidence_predictor"] = s
+    else:
+        params["center_edge_embedding"] = torch_fcblock(sd, "center_edge_embedding")
+        add_tpconv("final_conv", "final_conv", "2x1o + 2x1e" if not c.odd_parity else "1x1o + 1x1e")
+        params["tr_final_layer"] = torch_seq_mlp(sd, "tr_final_layer", (0, 3))
+        params["rot_final_layer"] = torch_seq_mlp(sd, "rot_final_layer", (0, 3))
+        if not c.no_torsion:
+            params["final_edge_embedding"] = torch_fcblock(sd, "final_edge_embedding")
+            add_tpconv("tor_bond_conv", "tor_bond_conv",
+                       f"{c.ns}x0o + {c.ns}x0e" if not c.odd_parity else f"{c.ns}x0o")
+            params["tor_final_layer"] = torch_seq_mlp(sd, "tor_final_layer", (0, 3))
+
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_state_dict(torch_state_dict: Dict[str, Any], cfg) -> Dict[str, Any]:
     """Best-effort conversion of a reference score-model state dict.
 

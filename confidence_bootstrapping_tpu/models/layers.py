@@ -79,10 +79,12 @@ class GaussianSmearing(nn.Module):
 class BatchNormIrreps(nn.Module):
     """Masked batch norm over irreps features (e3nn BatchNorm semantics).
 
-    Scalars (l=0): standard batch norm (mean/var) with affine weight+bias.
-    l>0 blocks: divide by the rms norm of the fields (no mean subtraction),
-    affine weight only. Statistics are masked means over all valid nodes of
-    the batch; running averages are kept in the 'batch_stats' collection.
+    Scalars (0e): standard batch norm (mean/var) with affine weight+bias.
+    Everything else (l>0 AND pseudoscalars 0o, matching e3nn's is_scalar()
+    = l==0 and p==1): divide by the rms norm of the fields, no mean
+    subtraction, affine weight only. Statistics are masked means over all
+    valid nodes of the batch; running averages are kept in the
+    'batch_stats' collection.
     """
 
     irreps: str
@@ -97,8 +99,8 @@ class BatchNormIrreps(nn.Module):
         m = mask.astype(x.dtype)
         denom = jnp.maximum(jnp.sum(m), 1.0)
 
-        n_scalar = sum(mul for mul, ir in irreps if ir.l == 0)
-        n_field = sum(mul for mul, ir in irreps if ir.l > 0)
+        n_scalar = sum(mul for mul, ir in irreps if ir.l == 0 and ir.p == 1)
+        n_field = sum(mul for mul, ir in irreps if not (ir.l == 0 and ir.p == 1))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((n_scalar,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((n_scalar,)))
         ra_norm = self.variable("batch_stats", "norm", lambda: jnp.ones((n_field,)))
@@ -113,7 +115,7 @@ class BatchNormIrreps(nn.Module):
             blk = x[..., sl]
             w = weight[i_w : i_w + mul]
             i_w += mul
-            if ir.l == 0:
+            if ir.l == 0 and ir.p == 1:
                 mean_b = jnp.sum(blk * m[..., None], axis=tuple(range(blk.ndim - 1))) / denom
                 var_b = jnp.sum((blk - mean_b) ** 2 * m[..., None], axis=tuple(range(blk.ndim - 1))) / denom
                 if use_running_average:

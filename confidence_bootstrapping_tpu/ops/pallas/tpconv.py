@@ -235,9 +235,12 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     sh = sh_ref[:].reshape(T, 4)
     mask = mask_ref[:].reshape(T, 1)  # [TM, K, 1] -> [T, 1]: leading-dim-only collapse
 
-    # --- edge MLP first layer on the MXU
-    h = jnp.maximum(jnp.dot(attr, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0)
-    h = h.astype(interpret_dtype)
+    # --- edge MLP first layer on the MXU (a thunk so the main path can
+    # run it inside the tile-skip predicate)
+    def edge_mlp_hidden():
+        h = jnp.maximum(jnp.dot(attr, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0)
+        return h.astype(interpret_dtype)
+
     w2 = w2_ref[:].astype(interpret_dtype)
     b2 = b2_ref[:]
 
@@ -254,6 +257,7 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     sh1 = [sh[:, 1 + b : 2 + b] for b in range(3)]
 
     if debug_stage == 1:  # MLP-only cost probe: touch all weight columns
+        h = edge_mlp_hidden()
         acc = 0.0
         for g, (fan, mul) in enumerate(zip(spec.fans, spec.out_muls)):
             n = nblks[g] * FAN_PAD
@@ -262,9 +266,8 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         out_ref[:] = jnp.sum((acc * mask).reshape(TM, K, 1), axis=1) * jnp.ones((1, spec.out_dim))
         return
 
-    parts = _tp_contributions(x0e, x1o, x1e, x0o, sh1, spec)
-
     if debug_stage == 2:  # contributions-only probe
+        parts = _tp_contributions(x0e, x1o, x1e, x0o, sh1, spec)
         acc = jnp.concatenate(parts["c0e"] + parts["c1o"][0] + parts["c1e"][0] + parts["c0o"], axis=1)
         out_ref[:] = jnp.sum((jnp.sum(acc, axis=1, keepdims=True) * mask).reshape(TM, K, 1), axis=1) * jnp.ones((1, spec.out_dim))
         return
@@ -275,7 +278,7 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # shape cast and the u-contraction is a lane reduction (pure VPU). Each
     # chunk's K-reduced result is written straight into the output ref so
     # temporaries stay dead across chunks (bounds the Mosaic stack).
-    def group_out(cvecs, g, ofs_pad, col_ofs):
+    def group_out(h, cvecs, g, ofs_pad, col_ofs):
         """cvecs: list of per-component [T, fan] stacks (1 or 3 entries).
         One weight matmul per group; `pack` channels share each 128-lane
         stripe, so the contribution vector is tiled into the slots and the
@@ -309,28 +312,35 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 msg_ref[:, col : col + nv] = part[:, :nv]
                 ofs_s += nv
 
-    col = 0
-    if spec.out_muls[0]:
-        group_out([jnp.concatenate(parts["c0e"], axis=1)], 0, ofs_pads[0], col)
-        col += spec.out_muls[0]
-    if spec.out_muls[1]:
-        group_out([jnp.concatenate(parts["c1o"][c], axis=1) for c in range(3)], 1, ofs_pads[1], col)
-        col += 3 * spec.out_muls[1]
-    if spec.out_muls[2]:
-        group_out([jnp.concatenate(parts["c1e"][c], axis=1) for c in range(3)], 2, ofs_pads[2], col)
-        col += 3 * spec.out_muls[2]
-    if spec.out_muls[3]:
-        group_out([jnp.concatenate(parts["c0o"], axis=1)], 3, ofs_pads[3], col)
+    # whole-tile skip: padded receiver rows (nodes beyond the real count)
+    # arrive as fully-masked tiles — ~20% of programs at typical bucket
+    # occupancy. Predicating the compute on "any edge valid" skips the MXU/
+    # VPU work for them (the tile DMAs still run; compute dominates).
+    tile_valid = jnp.sum(mask) > 0.0
 
-    partial = jnp.sum(msg_ref[:].reshape(TM, K, spec.out_dim), axis=1)
-
-    @pl.when(j == 0)
+    @pl.when(jnp.logical_not(tile_valid) & (j == 0))
     def _():
-        out_ref[:] = partial
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(j > 0)
+    @pl.when(tile_valid)
     def _():
-        out_ref[:] = out_ref[:] + partial
+        h = edge_mlp_hidden()
+        parts = _tp_contributions(x0e, x1o, x1e, x0o, sh1, spec)
+        col = 0
+        if spec.out_muls[0]:
+            group_out(h, [jnp.concatenate(parts["c0e"], axis=1)], 0, ofs_pads[0], col)
+            col += spec.out_muls[0]
+        if spec.out_muls[1]:
+            group_out(h, [jnp.concatenate(parts["c1o"][c], axis=1) for c in range(3)], 1, ofs_pads[1], col)
+            col += 3 * spec.out_muls[1]
+        if spec.out_muls[2]:
+            group_out(h, [jnp.concatenate(parts["c1e"][c], axis=1) for c in range(3)], 2, ofs_pads[2], col)
+            col += 3 * spec.out_muls[2]
+        if spec.out_muls[3]:
+            group_out(h, [jnp.concatenate(parts["c0o"], axis=1)], 3, ofs_pads[3], col)
+
+        partial = jnp.sum(msg_ref[:].reshape(TM, K, spec.out_dim), axis=1)
+        out_ref[:] = jnp.where(j == 0, partial, out_ref[:] + partial)
 
 
 def _to_component_major(x, muls):

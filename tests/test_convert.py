@@ -1,0 +1,212 @@
+"""Torch-reference checkpoint conversion round trip (models/convert.py).
+
+Builds a synthetic reference-style ``state_dict`` (the exact key layout of
+the reference TensorProductScoreModel: fc Sequential indices, e3nn
+BatchNorm buffers, atom_embedding_list tables) from a freshly initialized
+flax model, converts it, and checks the converted variables are
+structurally identical to the flax init and drive a forward pass.
+"""
+
+import jax
+import numpy as np
+
+from confidence_bootstrapping_tpu.models import convert as C
+from confidence_bootstrapping_tpu.models.score_model import TensorProductScoreModel, get_irrep_seq
+from confidence_bootstrapping_tpu.ops.irreps import Irreps
+
+from test_score_model import SMALL_CFG, make_random_batch
+
+
+def _fake_sd_from_params(cfg, variables):
+    """Inverse mapping: flax variables -> reference-style torch state dict
+    (numpy arrays; torch not needed)."""
+    sd = {}
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def fcblock(ref, tree):
+        for j in range(len([k for k in tree if k.startswith("Dense")])):
+            sd[f"{ref}.{3 * j}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
+            if "bias" in tree[f"Dense_{j}"]:
+                sd[f"{ref}.{3 * j}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+
+    def atom_encoder(ref, tree):
+        for k, v in tree.items():
+            if k.startswith("Embed_"):
+                sd[f"{ref}.atom_embedding_list.{k.split('_')[1]}.weight"] = np.asarray(v["embedding"])
+        if "Dense_0" in tree:
+            sd[f"{ref}.additional_features_embedder.weight"] = np.asarray(tree["Dense_0"]["kernel"]).T
+            sd[f"{ref}.additional_features_embedder.bias"] = np.asarray(tree["Dense_0"]["bias"])
+
+    def bn(ref, p, s, irreps):
+        sd[f"{ref}.weight"] = np.asarray(p["weight"])
+        sd[f"{ref}.bias"] = np.asarray(p["bias"])
+        sd[f"{ref}.running_mean"] = np.asarray(s["mean"])
+        # interleave var (0e) and norm (others) back into e3nn irreps order
+        var, norm = list(np.asarray(s["var"])), list(np.asarray(s["norm"]))
+        chunks = []
+        for mul, ir in Irreps(irreps):
+            src = var if (ir.l == 0 and ir.p == 1) else norm
+            chunks.append(np.asarray([src.pop(0) for _ in range(mul)]))
+        sd[f"{ref}.running_var"] = np.concatenate(chunks)
+
+    def tpconv(ref, name, irreps_out):
+        p = params[name]
+        groups = sorted(k for k in p if k.startswith("edge_mlps"))
+        if len(groups) == 1:
+            fcblock(f"{ref}.fc", p["edge_mlps_0"])
+        else:
+            for g, k in enumerate(groups):
+                fcblock(f"{ref}.fc.{g}", p[f"edge_mlps_{g}"])
+        if "bn" in p:
+            bn(f"{ref}.batch_norm", p["bn"], stats[name]["bn"], irreps_out)
+
+    def seq_mlp(ref, tree, idxs):
+        for j, idx in enumerate(idxs):
+            sd[f"{ref}.{idx}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
+            if "bias" in tree[f"Dense_{j}"]:
+                sd[f"{ref}.{idx}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+
+    c = cfg
+    seq = get_irrep_seq(c.ns, c.nv, c.use_second_order_repr, c.reduce_pseudoscalars)
+    atom_encoder("lig_node_embedding", params["lig_node_embedding"])
+    atom_encoder("rec_node_embedding", params["rec_node_embedding"])
+    for n in ("lig_edge_embedding", "rec_edge_embedding", "rec_sigma_embedding", "cross_edge_embedding"):
+        fcblock(n, params[n])
+    for i in range(c.num_prot_emb_layers):
+        tpconv(f"rec_emb_layers.{i}", f"rec_emb_layers_{i}", seq[min(i + 1, 3)])
+        tpconv(f"lig_emb_layers.{i}", f"lig_emb_layers_{i}", seq[min(i + 1, 3)])
+    P, Cn = c.num_prot_emb_layers, c.num_conv_layers
+    for k in range(Cn):
+        tpconv(f"conv_layers.{k}", f"conv_layers_{k}", seq[min(P + k + 1, 3)])
+    fcblock("center_edge_embedding", params["center_edge_embedding"])
+    tpconv("final_conv", "final_conv", "2x1o + 2x1e")
+    seq_mlp("tr_final_layer", params["tr_final_layer"], (0, 3))
+    seq_mlp("rot_final_layer", params["rot_final_layer"], (0, 3))
+    fcblock("final_edge_embedding", params["final_edge_embedding"])
+    tpconv("tor_bond_conv", "tor_bond_conv", f"{c.ns}x0o + {c.ns}x0e")
+    seq_mlp("tor_final_layer", params["tor_final_layer"], (0, 3))
+    return sd
+
+
+def test_convert_score_model_round_trip():
+    batch = make_random_batch(B=1)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    sd = _fake_sd_from_params(SMALL_CFG, variables)
+    converted = C.convert_score_model(sd, SMALL_CFG)
+
+    # identical tree structure + values on params
+    ref_flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    conv_flat = jax.tree_util.tree_flatten_with_path(converted["params"])[0]
+    ref_paths = [jax.tree_util.keystr(p) for p, _ in ref_flat]
+    conv_paths = [jax.tree_util.keystr(p) for p, _ in conv_flat]
+    assert ref_paths == conv_paths, f"param tree mismatch:\nonly-init: {set(ref_paths) - set(conv_paths)}\nonly-conv: {set(conv_paths) - set(ref_paths)}"
+    for (p1, a), (p2, b) in zip(ref_flat, conv_flat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(p1))
+
+    # batch_stats round-trips too
+    ref_s = jax.tree_util.tree_flatten_with_path(variables["batch_stats"])[0]
+    conv_s = jax.tree_util.tree_flatten_with_path(converted["batch_stats"])[0]
+    assert [jax.tree_util.keystr(p) for p, _ in ref_s] == [jax.tree_util.keystr(p) for p, _ in conv_s]
+    for (p1, a), (p2, b) in zip(ref_s, conv_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(p1))
+
+    # converted variables drive the forward
+    out = model.apply({"params": converted["params"], "batch_stats": converted["batch_stats"]}, batch)
+    assert np.all(np.isfinite(np.asarray(out.tr_pred)))
+
+
+def test_convert_all_atom_confidence_round_trip():
+    """All-atom confidence-mode conversion (the pretrained confidence
+    architecture's layout: 4-group rec emb convs, 9/3-group trunk,
+    Linear+BN1d confidence heads)."""
+    from confidence_bootstrapping_tpu.models.all_atom_model import AllAtomScoreModel
+
+    from test_all_atom_model import AA_CFG, make_aa_batch
+
+    cfg = AA_CFG.replace(confidence_mode=True, atom_confidence=True) if hasattr(AA_CFG, "replace") else None
+    if cfg is None:
+        import dataclasses
+        cfg = dataclasses.replace(AA_CFG, confidence_mode=True, atom_confidence=True)
+
+    batch = make_aa_batch(B=1)
+    model = AllAtomScoreModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    sd = {}
+
+    def fcblock(ref, tree):
+        for j in range(len([k for k in tree if k.startswith("Dense")])):
+            sd[f"{ref}.{3 * j}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
+            if "bias" in tree[f"Dense_{j}"]:
+                sd[f"{ref}.{3 * j}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+
+    def atom_encoder(ref, tree):
+        for k, v in tree.items():
+            if k.startswith("Embed_"):
+                sd[f"{ref}.atom_embedding_list.{k.split('_')[1]}.weight"] = np.asarray(v["embedding"])
+        if "Dense_0" in tree:
+            sd[f"{ref}.additional_features_embedder.weight"] = np.asarray(tree["Dense_0"]["kernel"]).T
+            sd[f"{ref}.additional_features_embedder.bias"] = np.asarray(tree["Dense_0"]["bias"])
+
+    def bn(ref, p, s, irreps):
+        sd[f"{ref}.weight"] = np.asarray(p["weight"])
+        sd[f"{ref}.bias"] = np.asarray(p["bias"])
+        sd[f"{ref}.running_mean"] = np.asarray(s["mean"])
+        var, norm = list(np.asarray(s["var"])), list(np.asarray(s["norm"]))
+        chunks = []
+        for mul, ir in Irreps(irreps):
+            src = var if (ir.l == 0 and ir.p == 1) else norm
+            chunks.append(np.asarray([src.pop(0) for _ in range(mul)]))
+        sd[f"{ref}.running_var"] = np.concatenate(chunks)
+
+    def tpconv(ref, name, irreps_out):
+        p = params[name]
+        groups = sorted(k for k in p if k.startswith("edge_mlps"))
+        if len(groups) == 1:
+            fcblock(f"{ref}.fc", p["edge_mlps_0"])
+        else:
+            for g in range(len(groups)):
+                fcblock(f"{ref}.fc.{g}", p[f"edge_mlps_{g}"])
+        if "bn" in p:
+            bn(f"{ref}.batch_norm", p["bn"], stats[name]["bn"], irreps_out)
+
+    def conf_head(ref, tree, s):
+        for j, idx in enumerate((0, 4, 8)):
+            sd[f"{ref}.{idx}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
+            sd[f"{ref}.{idx}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+        for j, idx in enumerate((1, 5)):
+            k = f"MaskedBatchNorm1d_{j}"
+            sd[f"{ref}.{idx}.weight"] = np.asarray(tree[k]["scale"])
+            sd[f"{ref}.{idx}.bias"] = np.asarray(tree[k]["bias"])
+            sd[f"{ref}.{idx}.running_mean"] = np.asarray(s[k]["mean"])
+            sd[f"{ref}.{idx}.running_var"] = np.asarray(s[k]["var"])
+
+    seq = get_irrep_seq(cfg.ns, cfg.nv, cfg.use_second_order_repr, cfg.reduce_pseudoscalars)
+    atom_encoder("lig_node_embedding", params["lig_node_embedding"])
+    atom_encoder("rec_node_embedding", params["rec_node_embedding"])
+    atom_encoder("atom_node_embedding", params["atom_node_embedding"])
+    for n in ("lig_edge_embedding", "rec_edge_embedding", "rec_sigma_embedding",
+              "atom_edge_embedding", "lr_edge_embedding", "ar_edge_embedding", "la_edge_embedding"):
+        fcblock(n, params[n])
+    P, Cn = cfg.num_prot_emb_layers, cfg.num_conv_layers
+    for i in range(P):
+        tpconv(f"rec_emb_layers.{i}", f"rec_emb_layers_{i}", seq[min(i + 1, 3)])
+        tpconv(f"lig_emb_layers.{i}", f"lig_emb_layers_{i}", seq[min(i + 1, 3)])
+    for k in range(Cn):
+        tpconv(f"conv_layers.{k}", f"conv_layers_{k}", seq[min(P + k + 1, 3)])
+    conf_head("confidence_predictor", params["confidence_predictor"], stats["confidence_predictor"])
+    conf_head("atom_confidence_predictor", params["atom_confidence_predictor"], stats["atom_confidence_predictor"])
+
+    converted = C.convert_all_atom_model(sd, cfg)
+    ref_flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    conv_flat = jax.tree_util.tree_flatten_with_path(converted["params"])[0]
+    assert [jax.tree_util.keystr(p) for p, _ in ref_flat] == [jax.tree_util.keystr(p) for p, _ in conv_flat]
+    for (p1, a), (_, b) in zip(ref_flat, conv_flat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(p1))
+
+    out = model.apply({"params": converted["params"], "batch_stats": converted["batch_stats"]}, batch)
+    assert np.all(np.isfinite(np.asarray(out.confidence)))
