@@ -69,7 +69,9 @@ def load_or_init_model(model_dir, ckpt, example_batch, default_cfg=None):
         print(f"translated reference manifest {model_dir}/model_parameters.yml")
     else:
         cfg = default_cfg or ScoreModelConfig()
-    model = TensorProductScoreModel(cfg)
+    from ..models.factory import get_model
+
+    model = get_model(cfg)  # all_atoms configs need AllAtomScoreModel
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), example_batch)
     if model_dir and checkpoints.has_checkpoint(model_dir, ckpt):
         variables = checkpoints.load_params(os.path.join(model_dir, f"{ckpt}.msgpack"), variables)

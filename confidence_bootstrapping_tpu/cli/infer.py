@@ -22,6 +22,7 @@ import time
 from typing import List, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import SamplerConfig, ScoreModelConfig
@@ -136,8 +137,6 @@ def main(argv=None):
         temp_psi=(args.temp_psi_tr, args.temp_psi_rot, args.temp_psi_tor),
         temp_sigma_data=args.temp_sigma_data,
         initial_noise_std_proportion=args.initial_noise_std_proportion,
-        pocket_knowledge=args.pocket_knowledge,
-        pocket_cutoff=args.pocket_cutoff,
         svgd_weight_log_0=args.svgd_weight_log_0,
         svgd_weight_log_1=args.svgd_weight_log_1,
         svgd_repulsive_weight_log_0=args.svgd_repulsive_weight_log_0,
@@ -184,9 +183,13 @@ def main(argv=None):
                 try:
                     batch = replicate_complex(padded, n)
                     key, k1, k2 = jax.random.split(key, 3)
+                    pk = None
+                    if args.pocket_knowledge:
+                        c0 = featurize.pocket_center(hc, args.pocket_cutoff)
+                        pk = jnp.asarray(np.broadcast_to(c0, (n, 3)).copy())
                     batch = sampling.randomize_position(
                         batch, k1, cfg.sigma.tr_sigma_max,
-                        pocket_knowledge=args.pocket_knowledge,
+                        pocket_center=pk,
                         initial_noise_std_proportion=args.initial_noise_std_proportion,
                     )
                     final, _ = sampling.sample_jit(model, variables, batch, k2, cfg, sampler_cfg)
@@ -219,7 +222,9 @@ def main(argv=None):
             if args.obrms:
                 from ..eval import relax as relax_mod
 
-                ob = relax_mod.obrms(lig_path, heavy, poses)
+                # poses live in the centered model frame; the ligand file is
+                # in absolute coordinates — shift back before comparing
+                ob = relax_mod.obrms(lig_path, heavy, poses + np.asarray(hc.orig_center))
                 if ob is not None:
                     print(f"{name}: obrms mean {ob.mean():.2f} A (sym-rmsd mean {rmsds.mean():.2f} A)")
             cent = np.linalg.norm(poses.mean(axis=1) - hc.orig_lig_pos.mean(axis=0), axis=-1)

@@ -122,7 +122,7 @@ def main(argv=None):
     else:
         from ..data.pdbbind import construct_loader_entries
 
-        train_ds = construct_loader_entries(args)
+        train_ds = construct_loader_entries(args, all_atoms=model_cfg.all_atoms)
         for d in train_ds.datasets:
             if hasattr(d, "print_statistics"):
                 d.print_statistics()
@@ -196,8 +196,7 @@ def main(argv=None):
             state = state._replace(lr_scale=jax.numpy.ones(()))
         grad_mask = None
         if args.layer_warmup:
-            n_unfrozen = 1 + epoch // args.layer_warmup
-            grad_mask = train_loop.layer_freeze_mask(state.params, n_unfrozen)
+            grad_mask = train_loop.layer_freeze_mask(state.params, epoch // args.layer_warmup)
         key, k = jax.random.split(key)
         state, train_metrics = train_loop.train_epoch(train_step, state, batches, k, grad_mask=grad_mask)
 

@@ -94,9 +94,10 @@ class SamplerConfig:
     temp_sampling: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     temp_psi: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     temp_sigma_data: float = 0.5
-    # initialization (reference sampling.py:15-48)
-    pocket_knowledge: bool = False
-    pocket_cutoff: float = 7.0
+    # initialization (reference sampling.py:15-48). Pocket-aware init is
+    # host-side: CLIs compute featurize.pocket_center and pass it to
+    # randomize_position(pocket_center=...) directly; these knobs are not
+    # part of SamplerConfig to keep the jitted sampler free of host state.
     initial_noise_std_proportion: float = 1.0
     # SVGD particle coupling (reference sampling.py:169-218); enabled when
     # svgd_weight_log_0/1 are set

@@ -62,7 +62,10 @@ def fold_esm_outputs(extract_dir: str, mapping: Dict[Tuple[str, str], int], out_
             per_id[int(d["label"])] = d["representations"][repr_layer].numpy()
 
     by_complex: Dict[str, List[np.ndarray]] = {}
-    for (name, chain), sid in sorted(mapping.items()):
+    # mapping preserves chain order of appearance (write_dedup_fasta inserts
+    # in structure order) — featurization concatenates in that same order,
+    # so do NOT sort (chains are often non-alphabetical in biounit files)
+    for (name, chain), sid in mapping.items():
         by_complex.setdefault(name, []).append(per_id[sid])
     out = {name: np.concatenate(chunks, axis=0) for name, chunks in by_complex.items()}
     torch.save(out, out_pt)

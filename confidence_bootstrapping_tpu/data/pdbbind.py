@@ -113,25 +113,31 @@ class CombinedDataset:
         return batches_from_padded(padded, batch_size, rng, drop_last=drop_last)
 
 
-def construct_loader_entries(args_like) -> CombinedDataset:
+def construct_loader_entries(args_like, **featurize_kwargs) -> CombinedDataset:
     """Dataset selection logic (reference datasets/loader.py:34-129):
-    'pdbbind' | 'moad' | 'combined' | 'generalisation' (triple)."""
+    'pdbbind' | 'moad' | 'combined' | 'generalisation' (triple).
+
+    featurize_kwargs (all_atoms, c_alpha_max_neighbors, ...) are forwarded
+    to every sub-dataset so the featurization matches the model config."""
     from .moad import MOADDataset
 
     ds = []
     mode = getattr(args_like, "dataset", "pdbbind")
+    limit = getattr(args_like, "limit_complexes", 0) or 0
     if mode in ("pdbbind", "combined", "generalisation"):
         if not getattr(args_like, "pdbbind_dir", None):
             raise ValueError(f"--dataset {mode} requires --pdbbind_dir")
         ds.append(PDBBindDataset(args_like.pdbbind_dir, getattr(args_like, "split_train", None),
-                                 cache_path=getattr(args_like, "cache_path", "cache")))
+                                 cache_path=getattr(args_like, "cache_path", "cache"),
+                                 limit_complexes=limit, **featurize_kwargs))
     if mode in ("moad", "combined", "generalisation"):
         if not getattr(args_like, "moad_dir", None):
             raise ValueError(f"--dataset {mode} requires --moad_dir")
         ds.append(MOADDataset(args_like.moad_dir,
                               getattr(args_like, "moad_splits_pkl", None),
                               getattr(args_like, "cluster_to_ligands_pkl", None),
-                              cache_path=getattr(args_like, "cache_path", "cache")))
+                              cache_path=getattr(args_like, "cache_path", "cache"),
+                              limit_complexes=limit, **featurize_kwargs))
     if mode == "generalisation":
         from .pdb_sidechain import PDBSidechainDataset
 

@@ -50,8 +50,10 @@ def obrms(ref_ligand_path: str, mol: mol_io.Molecule, poses: np.ndarray,
                 mol_io.write_sdf(mol, p, os.path.join(td, f"_one{i}.sdf"), name=f"pose{i}")
                 f.write(open(os.path.join(td, f"_one{i}.sdf")).read())
         try:
+            # obrms <reference> <predictions>: one RMSD line per record of
+            # the second file (reference utils/utils.py:38)
             out = subprocess.run(
-                [binary, pred, ref_ligand_path],
+                [binary, ref_ligand_path, pred],
                 capture_output=True, text=True, timeout=timeout_s, check=True,
             ).stdout
         except (subprocess.SubprocessError, OSError):

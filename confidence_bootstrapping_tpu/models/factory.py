@@ -92,8 +92,11 @@ def config_from_reference_manifest(manifest: Dict[str, Any]) -> ScoreModelConfig
         kwargs["sigma"] = SigmaParams(**sig)
 
     # ESM features: the reference keys them off an embeddings path / model
-    # flag, not a dim. 1280 = esm2_t33_650M per-residue dim.
-    esm_keys = ("esm_embeddings_path", "moad_esm_embeddings_path", "esm_embeddings_model")
+    # flag, not a dim (utils/utils.py:231-236 checks the per-dataset paths).
+    # 1280 = esm2_t33_650M per-residue dim.
+    esm_keys = ("esm_embeddings_path", "moad_esm_embeddings_path",
+                "pdbbind_esm_embeddings_path", "pdbsidechain_esm_embeddings_path",
+                "esm_embeddings_model")
     if any(manifest.get(k) for k in esm_keys):
         kwargs["lm_embedding_dim"] = 1280
     else:

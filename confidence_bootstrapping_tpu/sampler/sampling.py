@@ -50,7 +50,6 @@ def randomize_position(
     tr_sigma_max: float,
     no_torsion: bool = False,
     no_random: bool = False,
-    pocket_knowledge: bool = False,
     pocket_center: Optional[jnp.ndarray] = None,
     initial_noise_std_proportion: float = 1.0,
 ) -> ComplexBatch:

@@ -54,11 +54,22 @@ def init_train_state(variables, cfg: TrainConfig) -> TrainState:
     )
 
 
-def layer_freeze_mask(params, n_unfrozen: int):
-    """0/1 gradient mask unfreezing the last `n_unfrozen` conv layers plus
-    all non-conv parameters (the reference's layer_linear_warmup progressive
-    unfreezing, utils/utils.py:135-153). n_unfrozen <= 0 unfreezes nothing
-    but the heads; a large value unfreezes everything."""
+# modules unfrozen from step 0 (reference utils/utils.py:143-145: the heads)
+_WARMUP_HEAD_MODULES = (
+    "center_edge_embedding", "final_conv", "tr_final_layer", "rot_final_layer",
+    "final_edge_embedding", "tor_bond_conv", "tor_final_layer",
+    "confidence_predictor", "atom_confidence_predictor", "sidechain_predictor",
+)
+
+
+def layer_freeze_mask(params, step: int):
+    """0/1 gradient mask for the reference's layer_linear_warmup progressive
+    unfreezing (utils/utils.py:135-153):
+
+    * step 0: only the output heads and every batch-norm parameter train;
+    * step s in 1..num_conv_layers: additionally conv_layers[-s] (top-down);
+    * step > num_conv_layers: everything (input embeddings + emb layers too).
+    """
     import re
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -67,20 +78,29 @@ def layer_freeze_mask(params, n_unfrozen: int):
         m = re.match(r"conv_layers_(\d+)", str(path[0].key) if hasattr(path[0], "key") else "")
         if m:
             layer_ids.add(int(m.group(1)))
-    n_layers = max(layer_ids) + 1 if layer_ids else 0
-    cutoff = n_layers - n_unfrozen
+    n_conv = max(layer_ids) + 1 if layer_ids else 0
+    conv_cutoff = n_conv - min(max(step, 0), n_conv)  # conv idx >= cutoff train
+    all_unfrozen = step > n_conv
 
     def mask_leaf(path, x):
-        name = str(path[0].key) if hasattr(path[0], "key") else ""
-        m = re.match(r"(?:conv_layers|rec_emb_layers|lig_emb_layers)_(\d+)", name)
-        if m and int(m.group(1)) < cutoff:
-            return jnp.zeros_like(x)
-        return jnp.ones_like(x)
+        keys = [str(p.key) for p in path if hasattr(p, "key")]
+        name = keys[0] if keys else ""
+        # batch-norm params are never frozen (reference keeps any param whose
+        # name contains 'batch_norm' trainable at step 0)
+        if any(k == "bn" or k.startswith("MaskedBatchNorm") for k in keys):
+            return jnp.ones_like(x)
+        if name in _WARMUP_HEAD_MODULES:
+            return jnp.ones_like(x)
+        m = re.match(r"conv_layers_(\d+)", name)
+        if m:
+            return jnp.ones_like(x) if int(m.group(1)) >= conv_cutoff else jnp.zeros_like(x)
+        # embeddings + rec/lig emb layers unfreeze only at the final step
+        return jnp.ones_like(x) if all_unfrozen else jnp.zeros_like(x)
 
     return jax.tree_util.tree_map_with_path(mask_leaf, params)
 
 
-def make_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig, use_grad_mask: bool = False):
+def make_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
     """Returns jitted (state, batch, key[, grad_mask]) -> (state, metrics)."""
     tx = make_optimizer(cfg)
 

@@ -20,13 +20,6 @@ if not os.environ.get("CBT_TEST_TPU"):
 
 # Persistent XLA compilation cache: CPU-backend compiles of the
 # scatter/gather-heavy graphs take minutes; cache them across test runs.
-import jax as _jax  # noqa: E402
+from confidence_bootstrapping_tpu.runtime import enable_compilation_cache  # noqa: E402
 
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax_compilation")
-os.makedirs(_cache_dir, exist_ok=True)
-_jax.config.update("jax_compilation_cache_dir", _cache_dir)
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-try:
-    _jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-except Exception:
-    pass
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), "..", ".cache", "jax_compilation"))

@@ -93,25 +93,33 @@ def test_layer_freeze_mask_and_masked_step():
     batch = make_random_batch(B=2)
     model = TensorProductScoreModel(SMALL_CFG)
     variables = model.init(jax.random.PRNGKey(0), batch)
-    mask = train_loop.layer_freeze_mask(variables["params"], n_unfrozen=1)
-    # first conv layer frozen, last unfrozen
+    mask = train_loop.layer_freeze_mask(variables["params"], step=1)
+    # first conv layer frozen (except bn), last unfrozen; heads always train;
+    # input embeddings frozen until the final step (reference semantics)
     import jax as _jax
 
-    frozen = _jax.tree.leaves(mask["conv_layers_0"])[0]
-    unfrozen = _jax.tree.leaves(mask["conv_layers_1"])[0]
-    assert float(np.asarray(frozen).max()) == 0.0
-    assert float(np.asarray(unfrozen).min()) == 1.0
+    def leaves(t):
+        return [np.asarray(x) for x in _jax.tree.leaves(t) if np.asarray(x).size]
+
+    for k, sub in mask["conv_layers_0"].items():
+        for x in leaves(sub):
+            assert x.max() == (1.0 if k == "bn" else 0.0), k
+    assert all(x.min() == 1.0 for x in leaves(mask["conv_layers_1"]))
+    assert all(x.min() == 1.0 for x in leaves(mask["tr_final_layer"]))
+    assert all(x.max() == 0.0 for x in leaves(mask["lig_node_embedding"]))
+    full = train_loop.layer_freeze_mask(variables["params"], step=3)
+    assert all(x.min() == 1.0 for x in leaves(full))
 
     cfg = TrainConfig(lr=1e-2)
     state = train_loop.init_train_state(variables, cfg)
     step = train_loop.make_train_step(model, SMALL_CFG, cfg)
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1), mask)
-    # frozen layer params unchanged, unfrozen moved
-    a0 = _jax.tree.leaves(state.params["conv_layers_0"])[0]
-    a1 = _jax.tree.leaves(new_state.params["conv_layers_0"])[0]
+    # frozen layer MLP params unchanged, unfrozen layer moved
+    a0 = _jax.tree.leaves(state.params["conv_layers_0"]["edge_mlps_0"])[0]
+    a1 = _jax.tree.leaves(new_state.params["conv_layers_0"]["edge_mlps_0"])[0]
     np.testing.assert_allclose(np.asarray(a0), np.asarray(a1))
-    b0 = _jax.tree.leaves(state.params["conv_layers_1"])[0]
-    b1 = _jax.tree.leaves(new_state.params["conv_layers_1"])[0]
+    b0 = _jax.tree.leaves(state.params["conv_layers_1"]["edge_mlps_0"])[0]
+    b1 = _jax.tree.leaves(new_state.params["conv_layers_1"]["edge_mlps_0"])[0]
     assert np.abs(np.asarray(b0) - np.asarray(b1)).max() > 0
 
 
