@@ -30,14 +30,18 @@ from ..train import checkpoints, train_loop
 
 def get_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--data_dir", required=True, help="directory of complexes; always used for validation")
+    p.add_argument("--data_dir", default=None,
+                   help="directory of complexes; used for validation (required except --dataset torsional)")
     p.add_argument("--split_train", default=None, help="file with train complex names")
     p.add_argument("--split_val", default=None)
     p.add_argument("--cache_path", default="cache")
     # dataset selection (reference datasets/loader.py:34-129): 'dir' trains on
     # --data_dir; the named modes build PDBBind/MOAD/combined/generalisation
     # (= triple_training: + PDBSidechain) mixtures via construct_loader_entries.
-    p.add_argument("--dataset", default="dir", choices=["dir", "pdbbind", "moad", "combined", "generalisation"])
+    p.add_argument("--dataset", default="dir",
+                   choices=["dir", "pdbbind", "moad", "combined", "generalisation", "torsional"])
+    p.add_argument("--torsional_data_dir", default=None,
+                   help="dir of small-molecule SDFs for --dataset torsional (QM9-style pretraining)")
     p.add_argument("--pdbbind_dir", default=None)
     p.add_argument("--moad_dir", default=None)
     p.add_argument("--moad_splits_pkl", default=None)
@@ -114,10 +118,28 @@ def main(argv=None):
         model_cfg = from_dict(ScoreModelConfig, {**to_dict(model_cfg), **overlay})
     tcfg = TrainConfig(lr=args.lr, batch_size=args.batch_size, n_epochs=args.n_epochs)
 
-    entries = discover_dir(args.data_dir, _names(args.split_train))
+    torsional_mode = args.dataset == "torsional"
+    if not torsional_mode and not args.data_dir:
+        raise SystemExit("--data_dir is required (except with --dataset torsional)")
+    entries = discover_dir(args.data_dir, _names(args.split_train)) if args.data_dir else []
     if args.limit_complexes:
         entries = entries[: args.limit_complexes]
-    if args.dataset == "dir":
+    if torsional_mode:
+        import copy
+
+        from ..data.torsional import TorsionalDataset
+
+        if not args.torsional_data_dir:
+            raise SystemExit("--dataset torsional requires --torsional_data_dir")
+        train_ds = TorsionalDataset(args.torsional_data_dir, limit=args.limit_complexes)
+        model_cfg = from_dict(ScoreModelConfig, {**to_dict(model_cfg), "no_torsion": False, "lm_embedding_dim": 0})
+        # hold out 10% of conformers for validation
+        k = max(1, len(train_ds) // 10)
+        val_ds = copy.copy(train_ds)
+        val_ds.complexes = train_ds.complexes[-k:]
+        if len(train_ds) > 1:
+            train_ds.complexes = train_ds.complexes[:-k]
+    elif args.dataset == "dir":
         train_ds = ComplexDataset(entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms)
     else:
         from ..data.pdbbind import construct_loader_entries
@@ -135,8 +157,9 @@ def main(argv=None):
         boot = BootstrappingDataset(kept, temperature=args.bootstrapping_temperature, seed=args.seed)
         train_ds = CombinedDataset(train_ds, boot)
         print(f"mixed in {len(boot)} bootstrapped complexes")
-    val_entries = discover_dir(args.data_dir, _names(args.split_val)) if args.split_val else entries[: max(1, len(entries) // 10)]
-    val_ds = ComplexDataset(val_entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms)
+    if not torsional_mode:
+        val_entries = discover_dir(args.data_dir, _names(args.split_val)) if args.split_val else entries[: max(1, len(entries) // 10)]
+        val_ds = ComplexDataset(val_entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms)
     print(f"train {len(train_ds)} complexes, val {len(val_ds)}")
 
     model = get_model(model_cfg)
@@ -162,8 +185,13 @@ def main(argv=None):
             print(f"restarted (weights only) from {args.restart_dir}")
 
     dp_mesh = meshlib.make_mesh() if args.data_parallel else None
-    train_step = train_loop.make_train_step(model, model_cfg, tcfg)
-    eval_step = train_loop.make_eval_step(model, model_cfg, tcfg)
+    if torsional_mode:
+        train_step = train_loop.make_torsional_train_step(model, model_cfg, tcfg)
+        eval_step = train_loop.make_torsional_eval_step(model, model_cfg, tcfg)
+        args.val_inference_freq = 0  # no pose sampling in torsional pretraining
+    else:
+        train_step = train_loop.make_train_step(model, model_cfg, tcfg)
+        eval_step = train_loop.make_eval_step(model, model_cfg, tcfg)
     scheduler = train_loop.PlateauScheduler(patience=30, factor=0.7)
     save_yaml(model_cfg, os.path.join(args.workdir, checkpoints.CONFIG_NAME))
 

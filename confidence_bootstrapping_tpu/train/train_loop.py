@@ -156,6 +156,64 @@ def make_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
     return train_step
 
 
+def make_torsional_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
+    """Jitted torsion-only pretraining step (reference --dataset torsional:
+    TorsionalNoiseTransform + torsional_loss_function + model.torsional_forward,
+    train.py:25-27)."""
+    tx = make_optimizer(cfg)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: ComplexBatch, key):
+        from ..data.torsional import torsional_apply_noise, torsional_loss
+
+        k_noise, k_drop = jax.random.split(key)
+        noised, targets = torsional_apply_noise(batch, k_noise, model_cfg.sigma, cfg)
+
+        def loss_fn(params):
+            tor_pred, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                noised,
+                deterministic=False,
+                use_running_average=False,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+                method=model.torsional_forward,
+            )
+            loss, base = torsional_loss(tor_pred, targets, noised)
+            return loss, (base, mut["batch_stats"])
+
+        (loss, (base, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        ok = jnp.isfinite(loss)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = jax.tree.map(lambda e, p: cfg.ema_rate * e + (1 - cfg.ema_rate) * p, state.ema_params, new_params)
+        new_state = state._replace(
+            params=new_params, batch_stats=new_bs, opt_state=new_opt, ema_params=ema, step=state.step + 1
+        )
+        return new_state, {"loss": loss, "tor_base_loss": base, "skipped": 1.0 - ok.astype(jnp.float32)}
+
+    return train_step
+
+
+def make_torsional_eval_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
+    @jax.jit
+    def eval_step(state: TrainState, batch: ComplexBatch, key):
+        from ..data.torsional import torsional_apply_noise, torsional_loss
+
+        noised, targets = torsional_apply_noise(batch, key, model_cfg.sigma, cfg)
+        tor_pred = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            noised,
+            method=model.torsional_forward,
+        )
+        loss, base = torsional_loss(tor_pred, targets, noised)
+        return {"loss": loss, "tor_base_loss": base}
+
+    return eval_step
+
+
 def make_eval_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
     @jax.jit
     def eval_step(state: TrainState, batch: ComplexBatch, key):
@@ -234,6 +292,6 @@ def test_epoch(eval_step, state, batches, key, intervals: int = 1):
     for batch in batches:
         key, k = jax.random.split(key)
         metrics = eval_step(state, batch, k)
-        t = float(metrics.pop("t"))
+        t = float(metrics.pop("t")) if "t" in metrics else None
         meter.add({k_: float(v) for k_, v in metrics.items()}, t=t)
     return meter.summary()

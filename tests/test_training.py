@@ -153,3 +153,18 @@ def test_tensor_parallel_train_step_matches_single_device():
     # at least one kernel actually sharded over the model axis
     specs = jax.tree.leaves(meshlib.model_parallel_specs(state.params, mesh2))
     assert any(s != jax.sharding.PartitionSpec() for s in specs)
+
+
+def test_torsional_train_step():
+    """Torsion-only pretraining step (train_loop.make_torsional_train_step)."""
+    batch = make_random_batch(B=2)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    cfg = TrainConfig(lr=1e-3)
+    state = train_loop.init_train_state(variables, cfg)
+    step = train_loop.make_torsional_train_step(model, SMALL_CFG, cfg)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    eval_step = train_loop.make_torsional_eval_step(model, SMALL_CFG, cfg)
+    m = eval_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
