@@ -184,6 +184,8 @@ def main(argv=None):
             state = state._replace(params=v["params"], batch_stats=v.get("batch_stats", state.batch_stats), ema_params=v["params"])
             print(f"restarted (weights only) from {args.restart_dir}")
 
+    if args.data_parallel:
+        meshlib.maybe_init_distributed()
     dp_mesh = meshlib.make_mesh() if args.data_parallel else None
     if torsional_mode:
         train_step = train_loop.make_torsional_train_step(model, model_cfg, tcfg)

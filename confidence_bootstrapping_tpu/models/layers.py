@@ -253,6 +253,39 @@ class TPConv(nn.Module):
         )
         return out.reshape(lead + (out.shape[-1],)), counts
 
+    def msgs_nbr(self, group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=True):
+        """Per-edge messages over a neighbor list [..., K, *] -> [..., K, out],
+        masked entries exactly zero. Fused Pallas path on TPU (same gating as
+        conv_nbr); used by edge groups that scatter to OTHER nodes afterwards
+        (the reversed-cross receptor<-ligand group)."""
+        import jax
+
+        from ..ops.pallas import tpconv as _tpconv
+
+        use_fused = (
+            deterministic
+            and not self.depthwise
+            and self.tp_weights_layers == 2
+            and str(Irreps(self.sh_irreps)) == "1x0e + 1x1o"
+            and _tpconv.ladder_spec(self.in_irreps, self.out_irreps) is not None
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+        )
+        if not use_fused:
+            return self.messages(group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=deterministic)
+
+        p = self.edge_mlps[group].variables["params"]
+        w1, b1 = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
+        w2, b2 = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
+        lead = sender_attr.shape[:-2]
+        K = sender_attr.shape[-2]
+        flat = lambda a: a.reshape((-1, K) + a.shape[len(lead) + 1 :])
+        out = _tpconv.fused_tpconv_msgs(
+            flat(edge_attr), flat(sender_attr), flat(edge_sh), flat(edge_mask),
+            w1, b1, w2, b2, self.in_irreps, self.out_irreps,
+        )
+        return out.reshape(lead + (K, out.shape[-1]))
+
     def messages(self, group, sender_attr, edge_sh, edge_attr, edge_mask, edge_weight=None, deterministic=True):
         """Per-edge messages for one edge group; masked entries are zero.
 

@@ -455,7 +455,7 @@ class TensorProductScoreModel(nn.Module):
                     axis=-1,
                 )
                 lig_sender = jnp.broadcast_to(lig_attr[:, :, None, :], cr_emb.shape[:-1] + (lig_attr.shape[-1],))
-                msg_rl = layer.messages(g_rl, lig_sender, cr_sh_rev, eattr_rl, cr_mask, deterministic=det)
+                msg_rl = layer.msgs_nbr(g_rl, lig_sender, cr_sh_rev, eattr_rl, cr_mask, deterministic=det)
                 D = msg_rl.shape[-1]
                 s_rl, c_rl = scatter_mean_to_nodes(
                     msg_rl.reshape(B, -1, D), cr_idx.reshape(B, -1), cr_mask.reshape(B, -1), N

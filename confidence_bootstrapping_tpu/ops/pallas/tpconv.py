@@ -225,8 +225,8 @@ def _tp_contributions(x0e, x1o, x1e, x0o, sh1, spec: LadderSpec):
     return parts
 
 
-def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, msg_ref, *, spec: LadderSpec, K: int, interpret_dtype, ofs_pads, packs, nblks, debug_stage=0):
-    TM = out_ref.shape[0]
+def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, msg_ref, *, spec: LadderSpec, K: int, interpret_dtype, ofs_pads, packs, nblks, debug_stage=0, sum_k=True):
+    TM = out_ref.shape[0] if sum_k else attr_ref.shape[0]
     K = attr_ref.shape[1]  # the K-tile handled by this program
     T = TM * K
     j = pl.program_id(1)
@@ -318,7 +318,7 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # VPU work for them (the tile DMAs still run; compute dominates).
     tile_valid = jnp.sum(mask) > 0.0
 
-    @pl.when(jnp.logical_not(tile_valid) & (j == 0))
+    @pl.when(jnp.logical_not(tile_valid) & ((j == 0) if sum_k else (j == j)))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -339,8 +339,11 @@ def _kernel(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         if spec.out_muls[3]:
             group_out(h, [jnp.concatenate(parts["c0o"], axis=1)], 3, ofs_pads[3], col)
 
-        partial = jnp.sum(msg_ref[:].reshape(TM, K, spec.out_dim), axis=1)
-        out_ref[:] = jnp.where(j == 0, partial, out_ref[:] + partial)
+        if sum_k:
+            partial = jnp.sum(msg_ref[:].reshape(TM, K, spec.out_dim), axis=1)
+            out_ref[:] = jnp.where(j == 0, partial, out_ref[:] + partial)
+        else:
+            out_ref[:] = msg_ref[:].reshape(TM, K, spec.out_dim)
 
 
 def _to_component_major(x, muls):
@@ -475,4 +478,74 @@ def fused_tpconv_nbr(
 
     out = out[:M][:, _output_perm(spec, packs)]
     # the kernel emits component-major l=1 blocks; convert back to canonical
+    return _from_component_major(out, spec.out_muls)
+
+
+def fused_tpconv_msgs(
+    edge_attr,  # [M, K, Fe]
+    sender,  # [M, K, Din] canonical irreps layout
+    sh,  # [M, K, 4]
+    mask,  # [M, K] bool
+    w1, b1, w2, b2,
+    irreps_in: str,
+    irreps_out: str,
+    tile_m: Optional[int] = None,
+    interpret: bool = False,
+    use_bf16: bool = True,
+):
+    """Per-edge messages [M, K, Dout] (no K reduction) — the fused MLP->TP
+    pipeline for edge groups whose receivers differ from the list owner
+    (the reversed-cross receptor<-ligand group scatters these afterwards).
+    Masked edges come back exactly zero; fully-masked tiles are skipped."""
+    spec = ladder_spec(irreps_in, irreps_out)
+    assert spec is not None, "fused kernel requires lmax=1 ladder irreps"
+    M, K, Fe = edge_attr.shape
+    tile_k = K
+    for cand in (24, 16, 12, 8):
+        if K > 24 and K % cand == 0:
+            tile_k = cand
+            break
+    if tile_m is None:
+        tile_m = max(8, (192 // max(tile_k, 1)) // 8 * 8)
+
+    idx, scale, padded_numel, ofs_pads, packs, nblks = padded_weight_layout(spec)
+    safe_idx = jnp.asarray(np.maximum(idx, 0))
+    keep = jnp.asarray((idx >= 0).astype(np.float32))
+    scale_j = jnp.asarray(scale)
+    w2p = w2[:, safe_idx] * (keep * scale_j)[None, :]
+    b2p = b2[safe_idx] * (keep * scale_j)
+
+    sender_cm = _to_component_major(sender, spec.in_muls)
+
+    pad = (-M) % tile_m
+    if pad:
+        z = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        edge_attr, sender_cm, sh = z(edge_attr), z(sender_cm), z(sh)
+        mask = jnp.pad(mask, [(0, pad), (0, 0)])
+    Mp = M + pad
+
+    kernel = functools.partial(
+        _kernel, spec=spec, K=K, interpret_dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+        ofs_pads=tuple(ofs_pads), packs=tuple(packs), nblks=tuple(nblks), sum_k=False,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // tile_m, K // tile_k),
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k, Fe), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k, spec.in_dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k, 4), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_k, spec.out_dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, K, spec.out_dim), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_m * tile_k, spec.out_dim), jnp.float32)],
+        interpret=interpret,
+    )(edge_attr, sender_cm, sh, mask.astype(jnp.float32)[..., None], w1, b1, w2p, b2p)
+
+    out = out[:M][..., _output_perm(spec, packs)]
     return _from_component_major(out, spec.out_muls)

@@ -19,6 +19,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> bool:
+    """Multi-host initialization (standard JAX multi-controller over DCN).
+
+    Called by the train CLI; a no-op unless the JAX coordination env vars
+    (or TPU pod metadata) are present. Returns True when a multi-process
+    runtime was initialized. On TPU pods jax.distributed.initialize()
+    auto-discovers everything; elsewhere it needs
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    want = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    if not want:
+        return False
+    try:
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+    except Exception as e:
+        print(f"jax.distributed.initialize failed ({type(e).__name__}: {e}); running single-process")
+        return False
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:

@@ -290,15 +290,18 @@ def sample(
     rec_cache = model.apply(variables, batch, method="embed_receptor")
 
     def body(carry, inp):
-        b = carry
+        # carry only the moving ligand positions: the rest of the batch
+        # (rec_lm alone is ~80 MB at B=32) is a closed-over scan invariant,
+        # so XLA does not copy it every step.
         step_idx, k = inp
+        b = batch.replace(lig_pos=carry)
         nb = reverse_diffusion_step(model, variables, b, rec_cache, k, step_idx, sched, model_cfg, cfg)
-        return nb, (nb.lig_pos if return_trajectory else None)
+        return nb.lig_pos, (nb.lig_pos if return_trajectory else None)
 
     keys = jax.random.split(key, cfg.inference_steps)
     steps = jnp.arange(cfg.inference_steps)
-    final, traj = jax.lax.scan(body, batch, (steps, keys))
-    return final, traj
+    final_pos, traj = jax.lax.scan(body, batch.lig_pos, (steps, keys))
+    return batch.replace(lig_pos=final_pos), traj
 
 
 @partial(jax.jit, static_argnums=(0, 4, 5, 6))

@@ -89,3 +89,37 @@ def test_fused_tpconv_k_tiling():
     want = _xla_reference(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, irreps)
     got = tpconv.fused_tpconv_nbr(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, irreps, interpret=True, use_bf16=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=3e-4)
+
+
+def test_fused_tpconv_msgs_matches_xla():
+    """Messages-only variant (no K reduction): per-edge outputs match the
+    XLA path; masked edges and fully-masked tiles come back exactly zero."""
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    spec = tpconv.ladder_spec(irreps, irreps)
+    M, K, Fe, H = 24, 6, 24, 24
+    rng = np.random.RandomState(3)
+    edge_attr = jnp.asarray(rng.randn(M, K, Fe).astype(np.float32))
+    sender = jnp.asarray(rng.randn(M, K, spec.in_dim).astype(np.float32))
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    sh = spherical_harmonics(1, jnp.asarray(rng.randn(M, K, 3).astype(np.float32)))
+    mask_np = rng.rand(M, K) > 0.3
+    mask_np[8:16] = False  # a fully-masked tile (tile_m=8)
+    mask = jnp.asarray(mask_np)
+    w1 = jnp.asarray(rng.randn(Fe, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, spec.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(spec.weight_numel).astype(np.float32) * 0.1)
+
+    tp = WeightedTensorProduct(irreps, "1x0e + 1x1o", irreps)
+    h = jax.nn.relu(edge_attr @ w1 + b1)
+    w = h @ w2 + b2
+    want = jnp.where(mask[..., None], tp(sender, sh, w), 0.0)
+
+    got = tpconv.fused_tpconv_msgs(
+        edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, irreps,
+        tile_m=8, interpret=True, use_bf16=False,
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+    assert float(np.abs(np.asarray(got)[8:16]).max()) == 0.0
