@@ -225,7 +225,7 @@ class TPConv(nn.Module):
         """
         import jax
 
-        from ..ops.pallas import tpconv as _tpconv
+        from ..ops.pallas import tpconv_v3 as _tpconv
 
         counts = jnp.sum(edge_mask, axis=-1).astype(jnp.float32)
         use_fused = (
@@ -260,7 +260,7 @@ class TPConv(nn.Module):
         (the reversed-cross receptor<-ligand group)."""
         import jax
 
-        from ..ops.pallas import tpconv as _tpconv
+        from ..ops.pallas import tpconv_v3 as _tpconv
 
         use_fused = (
             deterministic

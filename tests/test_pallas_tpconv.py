@@ -123,3 +123,105 @@ def test_fused_tpconv_msgs_matches_xla():
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
     assert float(np.abs(np.asarray(got)[8:16]).max()) == 0.0
+
+
+# ---------------------------------------------------------------------- #
+# v3 kernel (all-MXU restructure) — same contracts as v1
+# ---------------------------------------------------------------------- #
+
+from confidence_bootstrapping_tpu.ops.pallas import tpconv_v3
+
+
+def _rand_case(irreps, M, K, Fe, H, seed):
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    spec = tpconv.ladder_spec(irreps, irreps)
+    rng = np.random.RandomState(seed)
+    edge_attr = jnp.asarray(rng.randn(M, K, Fe).astype(np.float32))
+    sender = jnp.asarray(rng.randn(M, K, spec.in_dim).astype(np.float32))
+    sh = spherical_harmonics(1, jnp.asarray(rng.randn(M, K, 3).astype(np.float32)))
+    mask = jnp.asarray(rng.rand(M, K) > 0.3)
+    w1 = jnp.asarray(rng.randn(Fe, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, spec.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(spec.weight_numel).astype(np.float32) * 0.1)
+    return edge_attr, sender, sh, mask, w1, b1, w2, b2
+
+
+def test_v3_contribution_matrix_matches_v1_contributions():
+    """The static CG matrix reproduces v1's per-edge contribution stacks."""
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    spec = tpconv.ladder_spec(irreps, irreps)
+    G, stripe_of = tpconv_v3.contribution_matrix(spec)
+    rng = np.random.RandomState(7)
+    T = 5
+    x_cm = rng.randn(T, spec.in_dim).astype(np.float32)
+    shv = rng.randn(T, 3).astype(np.float32)
+    sh = np.concatenate([np.ones((T, 1), np.float32), shv], axis=1)
+    xa = np.concatenate([x_cm, x_cm * shv[:, :1], x_cm * shv[:, 1:2], x_cm * shv[:, 2:3]], axis=1)
+    cfull = xa @ G
+
+    i0e, i1o, i1e, i0o = spec.in_muls
+    x0e = jnp.asarray(x_cm[:, :i0e])
+    x1o = [jnp.asarray(x_cm[:, i0e + c * i1o : i0e + (c + 1) * i1o]) for c in range(3)]
+    x1e = [jnp.asarray(x_cm[:, i0e + 3 * i1o + c * i1e : i0e + 3 * i1o + (c + 1) * i1e]) for c in range(3)]
+    x0o = jnp.asarray(x_cm[:, i0e + 3 * i1o + 3 * i1e :])
+    sh1 = [jnp.asarray(sh[:, 1 + b : 2 + b]) for b in range(3)]
+    parts = tpconv._tp_contributions(x0e, x1o, x1e, x0o, sh1, spec)
+
+    def stack(lst):
+        return np.concatenate([np.asarray(a) for a in lst], axis=1)
+
+    for g, key, ncomp in ((0, "c0e", 1), (1, "c1o", 3), (2, "c1e", 3), (3, "c0o", 1)):
+        for c in range(ncomp):
+            want = stack(parts[key][c] if ncomp == 3 else parts[key])
+            s = int(stripe_of[g, c])
+            got = cfull[:, s * 128 : s * 128 + want.shape[1]]
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_v3_fused_tpconv_matches_xla():
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    case = _rand_case(irreps, 24, 6, 24, 24, 0)
+    want = _xla_reference(*case, irreps, irreps)
+    got = tpconv_v3.fused_tpconv_nbr(*case, irreps, irreps, tile_m=8, interpret=True, use_bf16=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_v3_flagship_shapes_and_k_tiling():
+    """Pretrained-score irreps; K=48 exercises K-tiled accumulation."""
+    irreps = "32x0e + 6x1o + 6x1e + 6x0o"
+    case = _rand_case(irreps, 16, 48, 96, 96, 1)
+    want = _xla_reference(*case, irreps, irreps)
+    got = tpconv_v3.fused_tpconv_nbr(*case, irreps, irreps, tile_m=8, interpret=True, use_bf16=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=3e-4)
+
+
+def test_v3_msgs_matches_xla_and_masked_zero():
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    spec = tpconv.ladder_spec(irreps, irreps)
+    M, K, Fe, H = 24, 6, 24, 24
+    rng = np.random.RandomState(3)
+    edge_attr = jnp.asarray(rng.randn(M, K, Fe).astype(np.float32))
+    sender = jnp.asarray(rng.randn(M, K, spec.in_dim).astype(np.float32))
+    sh = spherical_harmonics(1, jnp.asarray(rng.randn(M, K, 3).astype(np.float32)))
+    mask_np = rng.rand(M, K) > 0.3
+    mask_np[8:16] = False
+    mask = jnp.asarray(mask_np)
+    w1 = jnp.asarray(rng.randn(Fe, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, spec.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(spec.weight_numel).astype(np.float32) * 0.1)
+
+    tp = WeightedTensorProduct(irreps, "1x0e + 1x1o", irreps)
+    h = jax.nn.relu(edge_attr @ w1 + b1)
+    w = h @ w2 + b2
+    want = jnp.where(mask[..., None], tp(sender, sh, w), 0.0)
+    got = tpconv_v3.fused_tpconv_msgs(
+        edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, irreps,
+        tile_m=8, interpret=True, use_bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+    assert float(np.abs(np.asarray(got)[8:16]).max()) == 0.0
