@@ -228,8 +228,11 @@ class TPConv(nn.Module):
         from ..ops.pallas import tpconv_v3 as _tpconv
 
         counts = jnp.sum(edge_mask, axis=-1).astype(jnp.float32)
+        import os
+
         use_fused = (
             deterministic
+            and not os.environ.get("CBT_DISABLE_FUSED")
             and not self.depthwise
             and self.tp_weights_layers == 2
             and str(Irreps(self.sh_irreps)) == "1x0e + 1x1o"
@@ -253,6 +256,66 @@ class TPConv(nn.Module):
         )
         return out.reshape(lead + (out.shape[-1],)), counts
 
+    def conv_rec(self, group, node_attr, pos, nbr, edge_emb, sig, nbr_mask, sh_lmax=1, deterministic=True):
+        """Messages for a kNN node group whose senders AND receivers are the
+        same node set (receptor<-receptor): [B, N, D] node features, [B, N, K]
+        neighbor indices, cached edge embeddings [B, N, K, Fe] plus a
+        per-batch sigma embedding added to them (zeros to skip).
+
+        On TPU inference this runs the v4 kernel (ops/pallas/tpconv_rec.py)
+        that gathers neighbors in-kernel — no [B, N, K, D] sender tensor in
+        HBM. Elsewhere it falls back to the XLA gather + conv_nbr path with
+        identical semantics. Returns (msg_sum [B, N, out_dim], counts)."""
+        import jax
+
+        from ..ops.graph_builders import gather_nodes
+        from ..ops.irreps import spherical_harmonics
+        from ..ops.pallas import tpconv_rec as _tpconv_rec
+        from ..ops.pallas import tpconv_v3 as _tpconv
+
+        counts = jnp.sum(nbr_mask, axis=-1).astype(jnp.float32)
+        ns = edge_emb.shape[-1]
+        B, N = node_attr.shape[:2]
+        import os
+
+        use_fused = (
+            deterministic
+            and not os.environ.get("CBT_DISABLE_FUSED")
+            and not self.depthwise
+            and self.tp_weights_layers == 2
+            and sh_lmax == 1
+            and str(Irreps(self.sh_irreps)) == "1x0e + 1x1o"
+            and _tpconv.ladder_spec(self.in_irreps, self.out_irreps) is not None
+            and self.n_edge_features == 3 * ns
+            and N % 32 == 0
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+        )
+        if not use_fused:
+            sender = gather_nodes(node_attr, nbr)
+            spos = gather_nodes(pos, nbr)
+            vec = spos - pos[:, :, None, :]
+            sh = spherical_harmonics(sh_lmax, vec)
+            scal = node_attr[..., :ns]
+            eattr = jnp.concatenate(
+                [
+                    edge_emb + sig[:, None, None, :],
+                    jnp.broadcast_to(scal[:, :, None, :], sender[..., :ns].shape),
+                    sender[..., :ns],
+                ],
+                axis=-1,
+            )
+            return self.conv_nbr(group, sender, sh, eattr, nbr_mask, deterministic=deterministic)[0], counts
+
+        p = self.edge_mlps[group].variables["params"]
+        w1, b1 = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
+        w2, b2 = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
+        out = _tpconv_rec.fused_tpconv_rec(
+            node_attr, pos, nbr, edge_emb, sig, nbr_mask,
+            w1, b1, w2, b2, self.in_irreps, self.out_irreps, ns,
+        )
+        return out, counts
+
     def msgs_nbr(self, group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=True):
         """Per-edge messages over a neighbor list [..., K, *] -> [..., K, out],
         masked entries exactly zero. Fused Pallas path on TPU (same gating as
@@ -262,8 +325,11 @@ class TPConv(nn.Module):
 
         from ..ops.pallas import tpconv_v3 as _tpconv
 
+        import os
+
         use_fused = (
             deterministic
+            and not os.environ.get("CBT_DISABLE_FUSED")
             and not self.depthwise
             and self.tp_weights_layers == 2
             and str(Irreps(self.sh_irreps)) == "1x0e + 1x1o"

@@ -261,14 +261,12 @@ class TensorProductScoreModel(nn.Module):
         edge_sh = spherical_harmonics(c.sh_lmax, vec)
         emask = batch.rec_nbr_mask
 
+        zero_sig = jnp.zeros((rec_attr.shape[0], ns), rec_attr.dtype)
         for layer in self.rec_emb_layers:
-            scal = rec_attr[..., :ns]
-            sender = gather_nodes(rec_attr, batch.rec_nbr)
-            sender_scal = sender[..., :ns]
-            eattr = jnp.concatenate(
-                [edge_emb, jnp.broadcast_to(scal[:, :, None, :], sender_scal.shape), sender_scal], axis=-1
+            s_, cnt = layer.conv_rec(
+                0, rec_attr, batch.rec_pos, batch.rec_nbr, edge_emb, zero_sig, emask,
+                sh_lmax=c.sh_lmax, deterministic=deterministic,
             )
-            s_, cnt = layer.conv_nbr(0, sender, edge_sh, eattr, emask, deterministic=deterministic)
             rec_attr = layer.finalize(rec_attr, s_, cnt, batch.rec_mask, use_running_average)
 
         return RecCache(rec_attr=rec_attr, rec_edge_emb=edge_emb, rec_edge_sh=edge_sh, rec_edge_mask=emask)
@@ -369,7 +367,6 @@ class TensorProductScoreModel(nn.Module):
         rec_sig = self.rec_sigma_embedding(sigma_emb, deterministic=det)  # [B, ns]
         rec_attr = rec_cache.rec_attr
         rec_attr = rec_attr.at[..., :ns].add(rec_sig[:, None, :])
-        rec_edge_emb = rec_cache.rec_edge_emb + rec_sig[:, None, None, :]
 
         # ---- ligand embedding
         lig_attr = self.lig_node_embedding(
@@ -437,17 +434,13 @@ class TensorProductScoreModel(nn.Module):
             lig_cnt = lig_cnt + c_lr2
 
             if not last:
-                # receptor <- receptor
-                sender = gather_nodes(rec_attr, batch.rec_nbr)
-                eattr_rec = jnp.concatenate(
-                    [
-                        rec_edge_emb,
-                        jnp.broadcast_to(rec_scal[:, :, None, :], rec_edge_emb.shape[:-1] + (ns,)),
-                        sender[..., :ns],
-                    ],
-                    axis=-1,
+                # receptor <- receptor (in-kernel gather; sigma emb added to
+                # the cached edge embeddings inside the kernel)
+                rec_sum, rec_cnt = layer.conv_rec(
+                    g_rec, rec_attr, batch.rec_pos, batch.rec_nbr,
+                    rec_cache.rec_edge_emb, rec_sig, rec_cache.rec_edge_mask,
+                    sh_lmax=c.sh_lmax, deterministic=det,
                 )
-                rec_sum, rec_cnt = layer.conv_nbr(g_rec, sender, rec_cache.rec_edge_sh, eattr_rec, rec_cache.rec_edge_mask, deterministic=det)
 
                 # receptor <- ligand (reversed cross edges)
                 eattr_rl = jnp.concatenate(

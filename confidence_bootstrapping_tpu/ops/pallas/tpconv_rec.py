@@ -1,0 +1,229 @@
+"""Fused TP-conv for kNN node groups with IN-KERNEL neighbor gather (v4).
+
+At bench shapes the XLA `take_along_axis` gathers materializing the
+[B, N, K, D] sender tensor (plus the receiver-scalar broadcast, the
+edge-attr concat and the per-step sigma-embedding add) were the single
+largest device cost — 23% of sample time in the op profile, more than any
+one pallas call. This kernel moves all of that inside the grid program:
+
+* grid = (B, N / tile_n); each program holds its batch element's FULL node
+  table [N, D] (and positions [N, 3]) in VMEM and gathers the K neighbors
+  of its tile_n receivers with a one-hot MXU matmul (exact: one 1.0 per
+  row) — no [B, N, K, D] tensor ever exists in HBM;
+* spherical harmonics (lmax=1, component-normalized) are computed from the
+  gathered positions in-register;
+* the edge MLP's first layer runs as three row-block matmuls
+  (edge-embedding / receiver-scalars / sender-scalars) so the edge-attr
+  concat disappears; the receiver term is computed once per receiver and
+  broadcast over K;
+* the per-step sigma embedding is added to the cached edge embeddings
+  in-kernel (pass zeros to skip, e.g. in the receptor-embedding phase).
+
+The weighted-TP core (static CG matrix G, expand E, reduce R — all MXU)
+is v3's (tpconv_v3.py). Replaces the reference's torch_cluster gather +
+torch_scatter reduce around e3nn TP convs (models/tensor_layers.py:120-217)
+for the receptor kNN groups.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tpconv import FAN_PAD, LadderSpec, _from_component_major, ladder_spec
+from .tpconv_v3 import (
+    contribution_matrix_canonical,
+    expand_reduce_matrices,
+    umajor_layout,
+)
+
+SQRT3 = float(np.sqrt(3.0))
+
+
+def _kernel_rec(nbr_ref, emb_ref, mask_ref, node_ref, pos_ref, sig_ref,
+                w1e_ref, w1r_ref, w1s_ref, b1_ref, w2_ref, b2_ref, g_ref, e_ref, r_ref,
+                out_ref, *, spec: LadderSpec, stripe_of, ofs_pads, numels_pad, e_ofs, r_ofs,
+                ns: int, tile_n: int, cdtype, debug_stage=0):
+    prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    N = node_ref.shape[1]
+    K = nbr_ref.shape[2]
+    T = tile_n * K
+    n_idx = pl.program_id(1)
+
+    mask = mask_ref[0].reshape(T, 1)  # [1, tile_n, K, 1] -> [T, 1]
+    tile_valid = jnp.sum(mask) > 0.0
+
+    @pl.when(jnp.logical_not(tile_valid))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(tile_valid)
+    def _():
+        node_tab = node_ref[0]  # [N, Din] cdtype
+        idx = nbr_ref[0].reshape(T, 1)  # [1, tile_n, K, 1] -> [T, 1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+        onehot = (iota == idx).astype(cdtype)  # [T, N]
+
+        sender = jnp.dot(onehot, node_tab, preferred_element_type=jnp.float32, precision=prec).astype(cdtype)  # [T, Din]
+
+        # positions -> lmax=1 spherical harmonics (component-normalized)
+        posb = pos_ref[0]  # [N, 3] f32
+        # positions must gather exactly: a bf16-rounded position difference
+        # is catastrophic for short edges (and turns masked self-edges'
+        # zero vectors into garbage directions under normalization)
+        spos = jnp.dot(onehot.astype(jnp.float32), posb, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # [T, 3]
+        rpos = pos_ref[0, pl.ds(n_idx * tile_n, tile_n), :]  # [tile_n, 3]
+        vec = spos - jnp.broadcast_to(rpos[:, None, :], (tile_n, K, 3)).reshape(T, 3)
+        d2 = jnp.maximum(jnp.sum(vec * vec, axis=1, keepdims=True), 1e-12)
+        sh1 = (vec * jax.lax.rsqrt(d2) * SQRT3).astype(cdtype)  # [T, 3]
+
+        if debug_stage == 1:  # gathered sender features, K-summed
+            out_ref[0] = jnp.sum(sender.astype(jnp.float32).reshape(tile_n, K, -1), axis=1)[:, : out_ref.shape[-1]]
+            return
+        if debug_stage == 2:  # per-edge sh1 laid out [tile_n, K*3] in out cols
+            she = sh1.astype(jnp.float32).reshape(tile_n, K * 3)
+            pad = out_ref.shape[-1] - K * 3
+            out_ref[0] = jnp.concatenate([she, jnp.zeros((tile_n, pad))], axis=1) if pad > 0 else she[:, : out_ref.shape[-1]]
+            return
+
+        # edge MLP hidden layer: three row-block matmuls, no concat
+        emb = emb_ref[0].reshape(T, emb_ref.shape[-1]).astype(jnp.float32) + sig_ref[0]
+        h = jnp.dot(emb.astype(cdtype), w1e_ref[:], preferred_element_type=jnp.float32, precision=prec)
+        recv = node_ref[0, pl.ds(n_idx * tile_n, tile_n), :]
+        hr = jnp.dot(recv[:, :ns], w1r_ref[:], preferred_element_type=jnp.float32, precision=prec)  # [tile_n, H]
+        h = h + jnp.broadcast_to(hr[:, None, :], (tile_n, K, hr.shape[-1])).reshape(T, hr.shape[-1])
+        h = h + jnp.dot(sender[:, :ns], w1s_ref[:], preferred_element_type=jnp.float32, precision=prec)
+        h = jnp.maximum(h + b1_ref[:], 0.0).astype(cdtype)
+        if debug_stage == 3:  # MLP hidden, K-summed
+            hp = jnp.sum(h.astype(jnp.float32).reshape(tile_n, K, -1), axis=1); out_ref[0] = jnp.concatenate([hp, jnp.zeros((tile_n, out_ref.shape[-1] - hp.shape[-1]))], axis=1) if hp.shape[-1] < out_ref.shape[-1] else hp[:, : out_ref.shape[-1]]
+            return
+
+        # CG contributions (canonical input layout folded into G)
+        xa = jnp.concatenate([sender, sender * sh1[:, 0:1], sender * sh1[:, 1:2], sender * sh1[:, 2:3]], axis=1)
+        cfull = jnp.dot(xa, g_ref[:], preferred_element_type=jnp.float32, precision=prec).astype(cdtype)
+
+        b2 = b2_ref[:]
+        col = 0
+        acc = None
+        parts = []
+        for g, ncomp in ((0, 1), (1, 3), (2, 3), (3, 1)):
+            mul = spec.out_muls[g]
+            if mul == 0:
+                continue
+            n = numels_pad[g]
+            w_g = jnp.dot(h, w2_ref[:, ofs_pads[g] : ofs_pads[g] + n], preferred_element_type=jnp.float32, precision=prec)
+            w_g = (w_g + b2[ofs_pads[g] : ofs_pads[g] + n]).astype(cdtype)
+            E = e_ref[:, e_ofs[g] : e_ofs[g] + n]
+            R = r_ref[r_ofs[g] : r_ofs[g] + n, :]
+            cps = []
+            for ci in range(ncomp):
+                s = int(stripe_of[g, ci])
+                cps.append(cfull[:, s * FAN_PAD : (s + 1) * FAN_PAD])
+            cp = jnp.concatenate(cps, axis=0) if ncomp > 1 else cps[0]
+            cexp = jnp.dot(cp, E, preferred_element_type=jnp.float32, precision=prec).astype(cdtype)
+            wz = jnp.concatenate([w_g] * ncomp, axis=0) if ncomp > 1 else w_g
+            z = (wz * cexp).astype(cdtype)
+            outg = jnp.dot(z, R, preferred_element_type=jnp.float32, precision=prec)  # [ncomp*T, 128]
+            for ci in range(ncomp):
+                part = outg[ci * T : (ci + 1) * T, :mul] * mask
+                parts.append(jnp.sum(part.reshape(tile_n, K, mul), axis=1))
+                col += mul
+        out_ref[0] = jnp.concatenate(parts, axis=1)
+
+
+def fused_tpconv_rec(
+    node_attr,  # [B, N, Din] canonical irreps layout
+    pos,  # [B, N, 3] float32
+    nbr,  # [B, N, K] int32 neighbor indices into N
+    edge_emb,  # [B, N, K, Fe] cached edge embeddings
+    sig,  # [B, Fe] per-step sigma embedding added to edge_emb (zeros to skip)
+    mask,  # [B, N, K] bool
+    w1, b1, w2, b2,  # edge MLP: w1 rows = [Fe | ns (receiver) | ns (sender)]
+    irreps_in: str,
+    irreps_out: str,
+    ns: int,
+    tile_n: int = 32,
+    interpret: bool = False,
+    use_bf16: bool = True,
+    debug_stage: int = 0,
+    raw: bool = False,
+):
+    """Message sums [B, N, Dout] for a kNN node group, gathering neighbors
+    in-kernel. Semantics match building eattr=[emb+sig | recv_scal |
+    sender_scal], sender=gather(node_attr, nbr) and calling v3's
+    fused_tpconv_nbr. Masked edges contribute exactly zero."""
+    cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    spec = ladder_spec(irreps_in, irreps_out)
+    assert spec is not None
+    B, N, Din = node_attr.shape
+    K = nbr.shape[2]
+    Fe = edge_emb.shape[-1]
+    assert w1.shape[0] == Fe + 2 * ns
+
+    idx, scale, padded_numel, ofs_pads, numels_pad = umajor_layout(spec)
+    safe_idx = jnp.asarray(np.maximum(idx, 0))
+    keep = jnp.asarray((idx >= 0).astype(np.float32))
+    scale_j = jnp.asarray(scale)
+    w2p = (w2[:, safe_idx] * (keep * scale_j)[None, :]).astype(cdtype)
+    b2p = b2[safe_idx] * (keep * scale_j)
+
+    G, stripe_of = contribution_matrix_canonical(spec)
+    Gj = jnp.asarray(G, dtype=cdtype)
+    Es, Rs = expand_reduce_matrices(spec)
+    e_ofs, r_ofs, acc = [], [], 0
+    for g in range(4):
+        e_ofs.append(acc)
+        r_ofs.append(acc)
+        if Es[g] is not None:
+            acc += Es[g].shape[1]
+    Ej = jnp.asarray(np.concatenate([E for E in Es if E is not None], axis=1), dtype=cdtype)
+    Rj = jnp.asarray(np.concatenate([R for R in Rs if R is not None], axis=0), dtype=cdtype)
+
+    w1e = w1[:Fe].astype(cdtype)
+    w1r = w1[Fe : Fe + ns].astype(cdtype)
+    w1s = w1[Fe + ns :].astype(cdtype)
+
+    kernel = functools.partial(
+        _kernel_rec, spec=spec, stripe_of=stripe_of, ofs_pads=tuple(ofs_pads),
+        numels_pad=tuple(numels_pad), e_ofs=tuple(e_ofs), r_ofs=tuple(r_ofs),
+        ns=ns, tile_n=tile_n, cdtype=cdtype, debug_stage=debug_stage,
+    )
+    assert N % tile_n == 0, (N, tile_n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, N // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, K, 1), lambda b, n: (b, n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, K, Fe), lambda b, n: (b, n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, K, 1), lambda b, n: (b, n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Din), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Fe), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, spec.out_dim), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, spec.out_dim), jnp.float32),
+        interpret=interpret,
+    )(
+        nbr.astype(jnp.int32)[..., None], edge_emb.astype(cdtype), mask.astype(jnp.float32)[..., None],
+        node_attr.astype(cdtype), pos.astype(jnp.float32), sig.astype(jnp.float32)[:, None, :],
+        w1e, w1r, w1s, b1, w2p, b2p, Gj, Ej, Rj,
+    )
+    if raw:
+        return out
+    return _from_component_major(out, spec.out_muls)

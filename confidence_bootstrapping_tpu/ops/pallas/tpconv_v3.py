@@ -149,6 +149,38 @@ def contribution_matrix(spec: LadderSpec):
     return G, stripe_of
 
 
+@functools.lru_cache(maxsize=None)
+def _canonical_row_perm(spec: LadderSpec):
+    """Permutation folding the canonical->component-major relayout of the
+    sender features into G's rows, so the kernel consumes the canonical
+    irreps layout directly (saves a [M, K, in_dim] copy per call)."""
+    import numpy as _np
+
+    i0e, i1o, i1e, i0o = spec.in_muls
+    # index k of component-major layout reads canonical column sigma(k)
+    sigma = list(range(i0e))
+    ofs = i0e
+    for c in range(3):
+        sigma += [ofs + m * 3 + c for m in range(i1o)]
+    ofs += 3 * i1o
+    for c in range(3):
+        sigma += [ofs + m * 3 + c for m in range(i1e)]
+    ofs += 3 * i1e
+    sigma += list(range(ofs, ofs + i0o))
+    return _np.asarray(sigma, dtype=_np.int64)
+
+
+def contribution_matrix_canonical(spec: LadderSpec):
+    """contribution_matrix with rows permuted for canonical-layout input."""
+    G, stripe_of = contribution_matrix(spec)
+    sigma = _canonical_row_perm(spec)
+    D = spec.in_dim
+    G2 = np.zeros_like(G)
+    for b in range(4):
+        G2[b * D + sigma, :] = G[b * D : (b + 1) * D, :]
+    return G2, stripe_of
+
+
 def _pad128(n: int) -> int:
     return -(-n // 128) * 128
 
@@ -214,7 +246,7 @@ def _kernel_v3(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_r
     T = TM * K
     j = pl.program_id(1)
     attr = attr_ref[:].reshape(T, attr_ref.shape[-1])  # bf16
-    xin = xin_ref[:].reshape(T, spec.in_dim)  # bf16 component-major
+    xin = xin_ref[:].reshape(T, spec.in_dim)  # bf16, canonical irreps layout
     sh = sh_ref[:].reshape(T, 4)  # bf16
     mask = mask_ref[:].reshape(T, 1)
     b2 = b2_ref[:]
@@ -312,7 +344,7 @@ def _prep_v3(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_out,
     w2p = (w2[:, safe_idx] * (keep * scale_j)[None, :]).astype(cdtype)
     b2p = b2[safe_idx] * (keep * scale_j)
 
-    G, stripe_of = contribution_matrix(spec)
+    G, stripe_of = contribution_matrix_canonical(spec)
     Gj = jnp.asarray(G, dtype=cdtype)
     Es, Rs = expand_reduce_matrices(spec)
     e_ofs, r_ofs = [], []
@@ -325,17 +357,16 @@ def _prep_v3(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_out,
     Ej = jnp.asarray(np.concatenate([E for E in Es if E is not None], axis=1), dtype=cdtype)
     Rj = jnp.asarray(np.concatenate([R for R in Rs if R is not None], axis=0), dtype=cdtype)
 
-    sender_cm = _to_component_major(sender, spec.in_muls)
 
     pad = (-M) % tile_m
     if pad:
         z = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
-        edge_attr, sender_cm, sh = z(edge_attr), z(sender_cm), z(sh)
+        edge_attr, sender, sh = z(edge_attr), z(sender), z(sh)
         mask = jnp.pad(mask, [(0, pad), (0, 0)])
     Mp = M + pad
     return (
         spec, Mp, tile_m, tile_k, Fe,
-        edge_attr.astype(cdtype), sender_cm.astype(cdtype), sh.astype(cdtype),
+        edge_attr.astype(cdtype), sender.astype(cdtype), sh.astype(cdtype),
         mask.astype(jnp.float32)[..., None],
         w1.astype(cdtype), b1, w2p, b2p, Gj, Ej, Rj,
         stripe_of, tuple(ofs_pads), tuple(numels_pad), tuple(e_ofs), tuple(r_ofs),

@@ -225,3 +225,59 @@ def test_v3_msgs_matches_xla_and_masked_zero():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
     assert float(np.abs(np.asarray(got)[8:16]).max()) == 0.0
+
+
+# ---------------------------------------------------------------------- #
+# v4 kernel: in-kernel neighbor gather (receptor kNN groups)
+# ---------------------------------------------------------------------- #
+
+from confidence_bootstrapping_tpu.ops.pallas import tpconv_rec
+
+
+def test_v4_rec_gather_matches_reference():
+    """v4 (in-kernel one-hot gather + in-kernel sh + split-w1 MLP) matches
+    the explicit gather + XLA TP reference; masked edges (including
+    self-edges with zero vectors) contribute exactly zero; a fully-masked
+    receiver tile is skipped and comes back zero."""
+    from confidence_bootstrapping_tpu.ops.graph_builders import gather_nodes
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    spec = tpconv.ladder_spec(irreps, irreps)
+    ns = 8
+    B, N, K, Fe, H = 2, 16, 4, 12, 28
+    rng = np.random.RandomState(11)
+    node = jnp.asarray(rng.randn(B, N, spec.in_dim).astype(np.float32))
+    pos = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 5)
+    nbr_np = rng.randint(0, N, (B, N, K))
+    nbr_np[0, 3, 1] = 3  # a self-edge (zero vector), masked below
+    mask_np = rng.rand(B, N, K) > 0.3
+    mask_np[0, 3, 1] = False
+    mask_np[1, 8:16] = False  # a fully-masked receiver tile (tile_n=8)
+    nbr = jnp.asarray(nbr_np.astype(np.int32))
+    mask = jnp.asarray(mask_np)
+    emb = jnp.asarray(rng.randn(B, N, K, Fe).astype(np.float32))
+    sig = jnp.asarray(rng.randn(B, Fe).astype(np.float32) * 0.3)
+    w1 = jnp.asarray(rng.randn(Fe + 2 * ns, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, spec.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(spec.weight_numel).astype(np.float32) * 0.1)
+
+    sender = gather_nodes(node, nbr)
+    spos = gather_nodes(pos, nbr)
+    sh = spherical_harmonics(1, spos - pos[:, :, None, :])
+    eattr = jnp.concatenate(
+        [emb + sig[:, None, None, :], jnp.broadcast_to(node[:, :, None, :ns], sender[..., :ns].shape), sender[..., :ns]],
+        axis=-1,
+    )
+    want = _xla_reference(
+        eattr.reshape(B * N, K, -1), sender.reshape(B * N, K, -1), sh.reshape(B * N, K, 4),
+        mask.reshape(B * N, K), w1, b1, w2, b2, irreps, irreps,
+    ).reshape(B, N, -1)
+
+    got = tpconv_rec.fused_tpconv_rec(
+        node, pos, nbr, emb, sig, mask, w1, b1, w2, b2, irreps, irreps, ns,
+        tile_n=8, interpret=True, use_bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+    assert float(np.abs(np.asarray(got)[1, 8:16]).max()) == 0.0
