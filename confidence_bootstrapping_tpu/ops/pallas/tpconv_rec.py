@@ -46,7 +46,7 @@ from .tpconv_v3 import (
 SQRT3 = float(np.sqrt(3.0))
 
 
-def _kernel_rec(nbr_ref, emb_ref, mask_ref, node_ref, pos_ref, sig_ref,
+def _kernel_rec(nbr_ref, emb_ref, mask_ref, node_ref, sig_ref,
                 w1e_ref, w1r_ref, w1s_ref, b1_ref, w2_ref, b2_ref, g_ref, e_ref, r_ref,
                 out_ref, *, spec: LadderSpec, stripe_of, ofs_pads, numels_pad, e_ofs, r_ofs,
                 ns: int, tile_n: int, cdtype, debug_stage=0):
@@ -65,25 +65,39 @@ def _kernel_rec(nbr_ref, emb_ref, mask_ref, node_ref, pos_ref, sig_ref,
 
     @pl.when(tile_valid)
     def _():
-        node_tab = node_ref[0]  # [N, Din] cdtype
+        if debug_stage == 6:  # pure DMA + program overhead
+            out_ref[0] = jnp.zeros_like(out_ref[0]) + mask[:tile_n]
+            return
+
+        # node table = [features (Din) | pos_hi (3) | pos_lo (3)]: positions
+        # ride the SAME one-hot gather as the features, split into two exact
+        # bf16 halves (a bf16-rounded position difference is catastrophic
+        # for short edges, and masked self-edges' zero vectors must stay
+        # exactly zero under normalization; the one-hot matmul copies bf16
+        # table values exactly, so hi+lo reconstructs fp32-accurate vectors)
+        node_tab = node_ref[0]  # [N, Din+6] cdtype
+        Din = node_tab.shape[1] - 6
+        # f32 compare (indices < 2^24 are exact in f32)
         idx = nbr_ref[0].reshape(T, 1)  # [1, tile_n, K, 1] -> [T, 1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1).astype(jnp.float32)
         onehot = (iota == idx).astype(cdtype)  # [T, N]
 
-        sender = jnp.dot(onehot, node_tab, preferred_element_type=jnp.float32, precision=prec).astype(cdtype)  # [T, Din]
+        gath = jnp.dot(onehot, node_tab, preferred_element_type=jnp.float32, precision=prec)  # [T, Din+6]
+        sender = gath[:, :Din].astype(cdtype)
+        spos = gath[:, Din : Din + 3] + gath[:, Din + 3 :]
 
-        # positions -> lmax=1 spherical harmonics (component-normalized)
-        posb = pos_ref[0]  # [N, 3] f32
-        # positions must gather exactly: a bf16-rounded position difference
-        # is catastrophic for short edges (and turns masked self-edges'
-        # zero vectors into garbage directions under normalization)
-        spos = jnp.dot(onehot.astype(jnp.float32), posb, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [T, 3]
-        rpos = pos_ref[0, pl.ds(n_idx * tile_n, tile_n), :]  # [tile_n, 3]
+        recvf = node_ref[0, pl.ds(n_idx * tile_n, tile_n), :].astype(jnp.float32)  # [tile_n, Din+6]
+        rpos = recvf[:, Din : Din + 3] + recvf[:, Din + 3 :]
         vec = spos - jnp.broadcast_to(rpos[:, None, :], (tile_n, K, 3)).reshape(T, 3)
         d2 = jnp.maximum(jnp.sum(vec * vec, axis=1, keepdims=True), 1e-12)
         sh1 = (vec * jax.lax.rsqrt(d2) * SQRT3).astype(cdtype)  # [T, 3]
 
+        if debug_stage == 4:  # onehot build only
+            out_ref[0] = jnp.sum(onehot.astype(jnp.float32), axis=1, keepdims=True)[:tile_n] * jnp.ones((1, out_ref.shape[-1]))
+            return
+        if debug_stage == 5:  # gather dot, scalar sink
+            out_ref[0] = jnp.sum(gath, axis=1, keepdims=True)[:tile_n] * jnp.ones((1, out_ref.shape[-1]))
+            return
         if debug_stage == 1:  # gathered sender features, K-summed
             out_ref[0] = jnp.sum(sender.astype(jnp.float32).reshape(tile_n, K, -1), axis=1)[:, : out_ref.shape[-1]]
             return
@@ -96,8 +110,7 @@ def _kernel_rec(nbr_ref, emb_ref, mask_ref, node_ref, pos_ref, sig_ref,
         # edge MLP hidden layer: three row-block matmuls, no concat
         emb = emb_ref[0].reshape(T, emb_ref.shape[-1]).astype(jnp.float32) + sig_ref[0]
         h = jnp.dot(emb.astype(cdtype), w1e_ref[:], preferred_element_type=jnp.float32, precision=prec)
-        recv = node_ref[0, pl.ds(n_idx * tile_n, tile_n), :]
-        hr = jnp.dot(recv[:, :ns], w1r_ref[:], preferred_element_type=jnp.float32, precision=prec)  # [tile_n, H]
+        hr = jnp.dot(recvf[:, :ns].astype(cdtype), w1r_ref[:], preferred_element_type=jnp.float32, precision=prec)  # [tile_n, H]
         h = h + jnp.broadcast_to(hr[:, None, :], (tile_n, K, hr.shape[-1])).reshape(T, hr.shape[-1])
         h = h + jnp.dot(sender[:, :ns], w1s_ref[:], preferred_element_type=jnp.float32, precision=prec)
         h = jnp.maximum(h + b1_ref[:], 0.0).astype(cdtype)
@@ -164,6 +177,11 @@ def fused_tpconv_rec(
     assert spec is not None
     B, N, Din = node_attr.shape
     K = nbr.shape[2]
+    pos_hi = pos.astype(jnp.bfloat16).astype(jnp.float32)
+    pos_lo = (pos - pos_hi).astype(jnp.bfloat16)
+    node_tab = jnp.concatenate(
+        [node_attr.astype(cdtype), pos_hi.astype(cdtype), pos_lo.astype(cdtype)], axis=-1
+    )
     Fe = edge_emb.shape[-1]
     assert w1.shape[0] == Fe + 2 * ns
 
@@ -203,8 +221,7 @@ def fused_tpconv_rec(
             pl.BlockSpec((1, tile_n, K, 1), lambda b, n: (b, n, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n, K, Fe), lambda b, n: (b, n, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n, K, 1), lambda b, n: (b, n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, Din), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 3), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Din + 6), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Fe), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -220,8 +237,8 @@ def fused_tpconv_rec(
         out_shape=jax.ShapeDtypeStruct((B, N, spec.out_dim), jnp.float32),
         interpret=interpret,
     )(
-        nbr.astype(jnp.int32)[..., None], edge_emb.astype(cdtype), mask.astype(jnp.float32)[..., None],
-        node_attr.astype(cdtype), pos.astype(jnp.float32), sig.astype(jnp.float32)[:, None, :],
+        nbr.astype(jnp.float32)[..., None], edge_emb.astype(cdtype), mask.astype(jnp.float32)[..., None],
+        node_tab, sig.astype(jnp.float32)[:, None, :],
         w1e, w1r, w1s, b1, w2p, b2p, Gj, Ej, Rj,
     )
     if raw:
