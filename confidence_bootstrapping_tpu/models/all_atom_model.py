@@ -171,15 +171,12 @@ class AllAtomScoreModel(nn.Module):
             g = (0, 1, 2, 3) if c.differentiate_convolutions else (0, 0, 0, 0)
             rec_scal, atom_scal = rec_attr[..., :ns], atom_attr[..., :ns]
 
-            # group 0: rec <- rec
-            sender = gather_nodes(rec_attr, batch.rec_nbr)
-            ea = jnp.concatenate(
-                [rec_edge_emb, jnp.broadcast_to(rec_scal[:, :, None, :], rec_edge_emb.shape[:-1] + (ns,)), sender[..., :ns]],
-                axis=-1,
+            # group 0: rec <- rec (fused in-kernel gather when sh_lmax=1)
+            zero_sig = jnp.zeros((rec_attr.shape[0], ns), rec_attr.dtype)
+            rec_sum, rec_cnt = layer.conv_rec(
+                g[0], rec_attr, batch.rec_pos, batch.rec_nbr, rec_edge_emb, zero_sig,
+                batch.rec_nbr_mask, sh_lmax=c.sh_lmax, deterministic=det,
             )
-            m0 = layer.messages(g[0], sender, rec_edge_sh, ea, batch.rec_nbr_mask, deterministic=det)
-            rec_sum = jnp.sum(m0, axis=2)
-            rec_cnt = jnp.sum(batch.rec_nbr_mask, axis=-1).astype(rec_sum.dtype)
 
             # group 1: rec <- atom (reversed membership edges)
             res_scal = jnp.take_along_axis(rec_scal, batch.atom_res[..., None], axis=1)
@@ -188,15 +185,11 @@ class AllAtomScoreModel(nn.Module):
             s1, c1 = scatter_mean_to_nodes(m1, batch.atom_res, batch.atom_mask, N)
             rec_sum, rec_cnt = rec_sum + s1, rec_cnt + c1
 
-            # group 2: atom <- atom
-            sender_a = gather_nodes(atom_attr, batch.atom_nbr)
-            ea2 = jnp.concatenate(
-                [atom_edge_emb, jnp.broadcast_to(atom_scal[:, :, None, :], atom_edge_emb.shape[:-1] + (ns,)), sender_a[..., :ns]],
-                axis=-1,
+            # group 2: atom <- atom (fused in-kernel gather when sh_lmax=1)
+            atom_sum, atom_cnt = layer.conv_rec(
+                g[2], atom_attr, batch.atom_pos, batch.atom_nbr, atom_edge_emb, zero_sig,
+                batch.atom_nbr_mask, sh_lmax=c.sh_lmax, deterministic=det,
             )
-            m2 = layer.messages(g[2], sender_a, atom_edge_sh, ea2, batch.atom_nbr_mask, deterministic=det)
-            atom_sum = jnp.sum(m2, axis=2)
-            atom_cnt = jnp.sum(batch.atom_nbr_mask, axis=-1).astype(atom_sum.dtype)
 
             # group 3: atom <- rec (its residue)
             res_attr = jnp.take_along_axis(rec_attr, batch.atom_res[..., None], axis=1)
@@ -289,8 +282,6 @@ class AllAtomScoreModel(nn.Module):
         rec_sig = self.rec_sigma_embedding(sigma_emb, deterministic=det)
         rec_attr = rec_cache.rec_attr.at[..., :ns].add(rec_sig[:, None, :])
         atom_attr = rec_cache.atom_attr.at[..., :ns].add(rec_sig[:, None, :])
-        rec_edge_emb = rec_cache.rec_edge_emb + rec_sig[:, None, None, :]
-        atom_edge_emb = rec_cache.atom_edge_emb + rec_sig[:, None, None, :]
         ar_edge_emb = rec_cache.ar_edge_emb + rec_sig[:, None, :]
         ar_edge_sh = rec_cache.ar_edge_sh
         ar_edge_sh_rev = spherical_harmonics(
@@ -373,15 +364,12 @@ class AllAtomScoreModel(nn.Module):
             lig_cnt = lig_cnt + jnp.sum(la_mask, axis=2).astype(lig_sum.dtype)
 
             if not last:
-                # ---- receptor receives
-                sender = gather_nodes(rec_attr, batch.rec_nbr)
-                ea = jnp.concatenate(
-                    [rec_edge_emb, jnp.broadcast_to(rec_scal[:, :, None, :], rec_edge_emb.shape[:-1] + (ns,)), sender[..., :ns]],
-                    axis=-1,
+                # ---- receptor receives (fused in-kernel gather when sh_lmax=1)
+                rec_sum, rec_cnt = layer.conv_rec(
+                    G["rec"], rec_attr, batch.rec_pos, batch.rec_nbr,
+                    rec_cache.rec_edge_emb, rec_sig, batch.rec_nbr_mask,
+                    sh_lmax=c.sh_lmax, deterministic=det,
                 )
-                m_rec = layer.messages(G["rec"], sender, rec_cache.rec_edge_sh, ea, batch.rec_nbr_mask, deterministic=det)
-                rec_sum = jnp.sum(m_rec, axis=2)
-                rec_cnt = jnp.sum(batch.rec_nbr_mask, axis=-1).astype(rec_sum.dtype)
 
                 # rec <- lig (reversed lr)
                 ea = jnp.concatenate(
@@ -400,15 +388,12 @@ class AllAtomScoreModel(nn.Module):
                 s_, c_ = scatter_mean_to_nodes(m_ra, batch.atom_res, atom_mask_eff, N)
                 rec_sum, rec_cnt = rec_sum + s_, rec_cnt + c_
 
-                # ---- atoms receive
-                sender_a = gather_nodes(atom_attr, batch.atom_nbr)
-                ea = jnp.concatenate(
-                    [atom_edge_emb, jnp.broadcast_to(atom_scal[:, :, None, :], atom_edge_emb.shape[:-1] + (ns,)), sender_a[..., :ns]],
-                    axis=-1,
+                # ---- atoms receive (fused in-kernel gather when sh_lmax=1)
+                atom_sum, atom_cnt = layer.conv_rec(
+                    G["atom"], atom_attr, batch.atom_pos, batch.atom_nbr,
+                    rec_cache.atom_edge_emb, rec_sig, batch.atom_nbr_mask,
+                    sh_lmax=c.sh_lmax, deterministic=det,
                 )
-                m_atom = layer.messages(G["atom"], sender_a, rec_cache.atom_edge_sh, ea, batch.atom_nbr_mask, deterministic=det)
-                atom_sum = jnp.sum(m_atom, axis=2)
-                atom_cnt = jnp.sum(batch.atom_nbr_mask, axis=-1).astype(atom_sum.dtype)
 
                 # atom <- lig (reversed la)
                 ea = jnp.concatenate(
