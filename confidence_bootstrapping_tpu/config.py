@@ -84,6 +84,10 @@ class SamplerConfig:
     """Reverse-diffusion sampling knobs (reference utils/sampling.py:59)."""
 
     inference_steps: int = 20
+    # every in-repo caller batches replicas of ONE complex per sample()
+    # call, so the receptor embedding is computed once at B=1 and
+    # broadcast; set False when batching distinct complexes directly
+    shared_receptor: bool = True
     sigma_schedule: str = "expbeta"
     inf_sched_alpha: float = 1.0
     inf_sched_beta: float = 1.0

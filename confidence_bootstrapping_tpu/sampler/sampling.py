@@ -287,7 +287,15 @@ def sample(
     L, 3] position trajectory if requested.
     """
     sched = make_schedules(cfg)
-    rec_cache = model.apply(variables, batch, method="embed_receptor")
+    if getattr(cfg, "shared_receptor", False):
+        # the batch is B replicas of one complex: embed the receptor once
+        # and broadcast the cache over the pose axis
+        b1 = jax.tree.map(lambda a: a[:1], batch)
+        cache1 = model.apply(variables, b1, method="embed_receptor")
+        B = batch.lig_pos.shape[0]
+        rec_cache = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape[1:]), cache1)
+    else:
+        rec_cache = model.apply(variables, batch, method="embed_receptor")
 
     def body(carry, inp):
         # carry only the moving ligand positions: the rest of the batch
