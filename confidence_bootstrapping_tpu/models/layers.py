@@ -214,6 +214,37 @@ class TPConv(nn.Module):
             self.bn = BatchNormIrreps(self.out_irreps)
         self.out_dim = Irreps(self.out_irreps).dim
 
+
+    def _fused_mode(self, deterministic):
+        """Which fused pallas path applies: 'ladder1' (tpconv_v3/tpconv_rec,
+        the tuned lmax=1 score-model path), 'general' (tpconv_g, any mul-1
+        sh with fan-in <= 128 — the lmax=2 confidence path), or None (XLA:
+        training, dropout-active, depthwise, or unsupported layouts)."""
+        import os
+
+        import jax
+
+        from ..ops.pallas import tpconv_v3 as _tpconv
+
+        if (
+            not deterministic
+            or os.environ.get("CBT_DISABLE_FUSED")
+            or self.depthwise
+            or self.tp_weights_layers != 2
+            or self.is_initializing()
+            or jax.default_backend() != "tpu"
+        ):
+            return None
+        if str(Irreps(self.sh_irreps)) == "1x0e + 1x1o" and _tpconv.ladder_spec(self.in_irreps, self.out_irreps) is not None:
+            return "ladder1"
+        try:
+            from ..ops.pallas import tpconv_g as _tpg
+
+            _tpg.general_layout(str(Irreps(self.in_irreps)), str(Irreps(self.sh_irreps)), str(Irreps(self.out_irreps)))
+            return "general"
+        except ValueError:
+            return None
+
     def conv_nbr(self, group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=True):
         """Messages summed over the trailing neighbor axis: [..., K, *] ->
         ([..., out_dim], counts [...]).
@@ -223,24 +254,12 @@ class TPConv(nn.Module):
         back to the XLA path otherwise (training needs dropout + VJP).
         sender_attr must be materialized to the full [..., K, D] shape.
         """
-        import jax
-
+        from ..ops.pallas import tpconv_g as _tpg
         from ..ops.pallas import tpconv_v3 as _tpconv
 
         counts = jnp.sum(edge_mask, axis=-1).astype(jnp.float32)
-        import os
-
-        use_fused = (
-            deterministic
-            and not os.environ.get("CBT_DISABLE_FUSED")
-            and not self.depthwise
-            and self.tp_weights_layers == 2
-            and str(Irreps(self.sh_irreps)) == "1x0e + 1x1o"
-            and _tpconv.ladder_spec(self.in_irreps, self.out_irreps) is not None
-            and not self.is_initializing()
-            and jax.default_backend() == "tpu"
-        )
-        if not use_fused:
+        mode = self._fused_mode(deterministic)
+        if mode is None:
             msg = self.messages(group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=deterministic)
             return jnp.sum(msg, axis=-2), counts
 
@@ -250,10 +269,16 @@ class TPConv(nn.Module):
         lead = sender_attr.shape[:-2]
         K = sender_attr.shape[-2]
         flat = lambda a: a.reshape((-1, K) + a.shape[len(lead) + 1 :])
-        out = _tpconv.fused_tpconv_nbr(
-            flat(edge_attr), flat(sender_attr), flat(edge_sh), flat(edge_mask),
-            w1, b1, w2, b2, self.in_irreps, self.out_irreps,
-        )
+        if mode == "ladder1":
+            out = _tpconv.fused_tpconv_nbr(
+                flat(edge_attr), flat(sender_attr), flat(edge_sh), flat(edge_mask),
+                w1, b1, w2, b2, self.in_irreps, self.out_irreps,
+            )
+        else:
+            out = _tpg.fused_tpconv_nbr_g(
+                flat(edge_attr), flat(sender_attr), flat(edge_sh), flat(edge_mask),
+                w1, b1, w2, b2, self.in_irreps, self.sh_irreps, self.out_irreps,
+            )
         return out.reshape(lead + (out.shape[-1],)), counts
 
     def conv_rec(self, group, node_attr, pos, nbr, edge_emb, sig, nbr_mask, sh_lmax=1, deterministic=True):
@@ -276,22 +301,15 @@ class TPConv(nn.Module):
         counts = jnp.sum(nbr_mask, axis=-1).astype(jnp.float32)
         ns = edge_emb.shape[-1]
         B, N = node_attr.shape[:2]
-        import os
-
         use_fused = (
-            deterministic
-            and not os.environ.get("CBT_DISABLE_FUSED")
-            and not self.depthwise
-            and self.tp_weights_layers == 2
+            self._fused_mode(deterministic) == "ladder1"
             and sh_lmax == 1
-            and str(Irreps(self.sh_irreps)) == "1x0e + 1x1o"
-            and _tpconv.ladder_spec(self.in_irreps, self.out_irreps) is not None
             and self.n_edge_features == 3 * ns
             and N % 32 == 0
-            and not self.is_initializing()
-            and jax.default_backend() == "tpu"
         )
         if not use_fused:
+            # falls through to conv_nbr, which itself applies the fused
+            # generalized kernel (tpconv_g) for lmax=2 layouts
             sender = gather_nodes(node_attr, nbr)
             spos = gather_nodes(pos, nbr)
             vec = spos - pos[:, :, None, :]
@@ -321,23 +339,11 @@ class TPConv(nn.Module):
         masked entries exactly zero. Fused Pallas path on TPU (same gating as
         conv_nbr); used by edge groups that scatter to OTHER nodes afterwards
         (the reversed-cross receptor<-ligand group)."""
-        import jax
-
+        from ..ops.pallas import tpconv_g as _tpg
         from ..ops.pallas import tpconv_v3 as _tpconv
 
-        import os
-
-        use_fused = (
-            deterministic
-            and not os.environ.get("CBT_DISABLE_FUSED")
-            and not self.depthwise
-            and self.tp_weights_layers == 2
-            and str(Irreps(self.sh_irreps)) == "1x0e + 1x1o"
-            and _tpconv.ladder_spec(self.in_irreps, self.out_irreps) is not None
-            and not self.is_initializing()
-            and jax.default_backend() == "tpu"
-        )
-        if not use_fused:
+        mode = self._fused_mode(deterministic)
+        if mode is None:
             return self.messages(group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=deterministic)
 
         p = self.edge_mlps[group].variables["params"]
@@ -346,10 +352,16 @@ class TPConv(nn.Module):
         lead = sender_attr.shape[:-2]
         K = sender_attr.shape[-2]
         flat = lambda a: a.reshape((-1, K) + a.shape[len(lead) + 1 :])
-        out = _tpconv.fused_tpconv_msgs(
-            flat(edge_attr), flat(sender_attr), flat(edge_sh), flat(edge_mask),
-            w1, b1, w2, b2, self.in_irreps, self.out_irreps,
-        )
+        if mode == "ladder1":
+            out = _tpconv.fused_tpconv_msgs(
+                flat(edge_attr), flat(sender_attr), flat(edge_sh), flat(edge_mask),
+                w1, b1, w2, b2, self.in_irreps, self.out_irreps,
+            )
+        else:
+            out = _tpg.fused_tpconv_msgs_g(
+                flat(edge_attr), flat(sender_attr), flat(edge_sh), flat(edge_mask),
+                w1, b1, w2, b2, self.in_irreps, self.sh_irreps, self.out_irreps,
+            )
         return out.reshape(lead + (K, out.shape[-1]))
 
     def messages(self, group, sender_attr, edge_sh, edge_attr, edge_mask, edge_weight=None, deterministic=True):

@@ -1,0 +1,294 @@
+"""Generalized fused TP-conv kernel (any sh_lmax, derived from the TP paths).
+
+tpconv_v3/tpconv_rec are specialized to sh = 0e+1o (the pretrained score
+model). The pretrained confidence architecture (all-atom, sh_lmax=2 —
+utils/utils.py:274 defaults sh_lmax to 2 when the manifest omits it) needs
+the same treatment: every TP contribution lane is linear in the products
+``x * sh_c`` over ALL sh components, so the whole layout — fan-in counts,
+the canonical u-major weight index map, the contribution matrix G and the
+expand/reduce matrices E/R — derives mechanically from
+``WeightedTensorProduct``'s path metadata (ops/irreps.py:302-333). That
+guarantees numerical agreement with the XLA path by construction, for any
+(irreps_in, irreps_sh, irreps_out) with mul-1 sh.
+
+Kernel structure is v3's (all stages MXU): xa = [x*sh_0 | ... | x*sh_C-1]
+@ G emits one 128-lane contribution stripe per (output group, component);
+per group the canonical-layout weight matmul, the one-hot expand E, the
+per-edge multiply, and the one-hot reduce R produce the messages.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..irreps import Irreps, WeightedTensorProduct, clebsch_gordan
+
+LANE = 128
+
+
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+class GeneralSpec(NamedTuple):
+    in_dim: int
+    sh_dim: int
+    out_dim: int
+    weight_numel: int
+    n_stripes: int
+    # per active group: (out_index, d3, mul_out, fan, w_ofs_pad, numel_pad, stripe0)
+    groups: Tuple[Tuple[int, int, int, int, int, int, int], ...]
+    out_perm: Tuple[int, ...]  # kernel msg column -> canonical output column
+    total_pad: int
+
+
+@functools.lru_cache(maxsize=None)
+def general_layout(irreps_in: str, irreps_sh: str, irreps_out: str):
+    """Derive (spec, w_idx, w_scale, G) from the TP path structure."""
+    tp = WeightedTensorProduct(irreps_in, irreps_sh, irreps_out)
+    ir_in, ir_sh, ir_out = tp.irreps_in, tp.irreps_sh, tp.irreps_out
+    Din, Dsh, Dout = ir_in.dim, ir_sh.dim, ir_out.dim
+    in_slices, sh_slices, out_slices = ir_in.slices(), ir_sh.slices(), ir_out.slices()
+
+    groups = []
+    stripe = 0
+    total = 0
+    w_ofs = 0
+    idx_cols = []
+    scale_cols = []
+    out_perm = []
+    msg_col = 0
+    n_stripes = sum((2 * ir_out[g.out_index][1].l + 1) for g in tp.groups)
+    G = np.zeros((Dsh * Din, n_stripes * LANE), dtype=np.float32)
+
+    for g in tp.groups:
+        mul_out, iro = ir_out[g.out_index]
+        d3 = iro.dim
+        fan = g.fan_in
+        if fan > LANE:
+            raise ValueError(f"fan-in {fan} exceeds one lane group; use the XLA path")
+        numel = fan * mul_out
+        numel_pad = _pad128(numel)
+        # weight columns (canonical flat layout is group-major, u-major)
+        idx = -np.ones(numel_pad, dtype=np.int64)
+        scale = np.zeros(numel_pad, dtype=np.float32)
+        for u in range(fan):
+            for v in range(mul_out):
+                idx[u * mul_out + v] = w_ofs + u * mul_out + v
+                scale[u * mul_out + v] = 1.0 / np.sqrt(fan)
+        idx_cols.append(idx)
+        scale_cols.append(scale)
+
+        # contribution matrix rows: lane u = (path offset + channel m)
+        for c in range(d3):
+            lane_ofs = 0
+            for ii, si in g.paths:
+                mul_in, iri = ir_in[ii]
+                _, irs = ir_sh[si]
+                cg = clebsch_gordan(iri.l, irs.l, iro.l) * np.sqrt(d3)
+                for m in range(mul_in):
+                    for a in range(iri.dim):
+                        row_x = in_slices[ii].start + m * iri.dim + a
+                        for b in range(irs.dim):
+                            val = float(cg[a, b, c])
+                            if abs(val) < 1e-12:
+                                continue
+                            row = (sh_slices[si].start + b) * Din + row_x
+                            G[row, (stripe + c) * LANE + lane_ofs + m] += val
+                lane_ofs += mul_in
+            assert lane_ofs == fan
+
+        # kernel msg columns: (group, c)-major; canonical: block + v*d3 + c
+        for c in range(d3):
+            for v in range(mul_out):
+                out_perm.append(out_slices[g.out_index].start + v * d3 + c)
+        groups.append((g.out_index, d3, mul_out, fan, total, numel_pad, stripe))
+        stripe += d3
+        total += numel_pad
+        w_ofs += numel
+        msg_col += d3 * mul_out
+
+    spec = GeneralSpec(
+        in_dim=Din, sh_dim=Dsh, out_dim=msg_col, weight_numel=tp.weight_numel,
+        n_stripes=n_stripes, groups=tuple(groups), out_perm=tuple(out_perm), total_pad=total,
+    )
+    w_idx = np.concatenate(idx_cols) if idx_cols else np.zeros(0, np.int64)
+    w_scale = np.concatenate(scale_cols) if scale_cols else np.zeros(0, np.float32)
+    return spec, w_idx, w_scale, G, Dout
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_reduce(spec: GeneralSpec):
+    Es, Rs = [], []
+    for (_, d3, mul, fan, _, numel_pad, _) in spec.groups:
+        E = np.zeros((LANE, numel_pad), dtype=np.float32)
+        R = np.zeros((numel_pad, LANE), dtype=np.float32)
+        for u in range(fan):
+            for v in range(mul):
+                E[u, u * mul + v] = 1.0
+                R[u * mul + v, v] = 1.0
+        Es.append(E)
+        Rs.append(R)
+    return Es, Rs
+
+
+def _kernel_g(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, e_ref, r_ref, out_ref, msg_ref, *, spec: GeneralSpec, cdtype, sum_k=True):
+    prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    TM = out_ref.shape[0] if sum_k else attr_ref.shape[0]
+    K = attr_ref.shape[1]
+    T = TM * K
+    j = pl.program_id(1)
+    attr = attr_ref[:].reshape(T, attr_ref.shape[-1])
+    xin = xin_ref[:].reshape(T, spec.in_dim)
+    sh = sh_ref[:].reshape(T, spec.sh_dim)
+    mask = mask_ref[:].reshape(T, 1)
+    b2 = b2_ref[:]
+
+    tile_valid = jnp.sum(mask) > 0.0
+
+    @pl.when(jnp.logical_not(tile_valid) & ((j == 0) if sum_k else (j == j)))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(tile_valid)
+    def _():
+        h = jnp.maximum(jnp.dot(attr, w1_ref[:], preferred_element_type=jnp.float32, precision=prec) + b1_ref[:], 0.0)
+        h = h.astype(cdtype)
+
+        xa = jnp.concatenate([xin * sh[:, c : c + 1] for c in range(spec.sh_dim)], axis=1)
+        cfull = jnp.dot(xa, g_ref[:], preferred_element_type=jnp.float32, precision=prec).astype(cdtype)
+
+        col = 0
+        e_ofs = 0
+        for (_, d3, mul, fan, w_ofs_pad, numel_pad, stripe0) in spec.groups:
+            w_g = jnp.dot(h, w2_ref[:, w_ofs_pad : w_ofs_pad + numel_pad], preferred_element_type=jnp.float32, precision=prec)
+            w_g = (w_g + b2[w_ofs_pad : w_ofs_pad + numel_pad]).astype(cdtype)
+            E = e_ref[:, e_ofs : e_ofs + numel_pad]
+            R = r_ref[e_ofs : e_ofs + numel_pad, :]
+            e_ofs += numel_pad
+            cps = [cfull[:, (stripe0 + c) * LANE : (stripe0 + c + 1) * LANE] for c in range(d3)]
+            cp = jnp.concatenate(cps, axis=0) if d3 > 1 else cps[0]
+            cexp = jnp.dot(cp, E, preferred_element_type=jnp.float32, precision=prec).astype(cdtype)
+            wz = jnp.concatenate([w_g] * d3, axis=0) if d3 > 1 else w_g
+            z = (wz * cexp).astype(cdtype)
+            outg = jnp.dot(z, R, preferred_element_type=jnp.float32, precision=prec)
+            for c in range(d3):
+                part = outg[c * T : (c + 1) * T, :mul] * mask
+                msg_ref[:, col : col + mul] = part
+                col += mul
+
+        if sum_k:
+            partial = jnp.sum(msg_ref[:].reshape(TM, K, spec.out_dim), axis=1)
+            out_ref[:] = jnp.where(j == 0, partial, out_ref[:] + partial)
+        else:
+            out_ref[:] = msg_ref[:].reshape(TM, K, spec.out_dim)
+
+
+def _prep_g(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, irreps_out, tile_m, cdtype):
+    spec, w_idx, w_scale, G, Dout = general_layout(str(Irreps(irreps_in)), str(Irreps(irreps_sh)), str(Irreps(irreps_out)))
+    M, K, Fe = edge_attr.shape
+    tile_k = K
+    for cand in (24, 16, 12, 8):
+        if K > 24 and K % cand == 0:
+            tile_k = cand
+            break
+    if tile_m is None:
+        tile_m = max(8, min((512 // max(tile_k, 1)) // 8 * 8, 256))
+
+    safe_idx = jnp.asarray(np.maximum(w_idx, 0))
+    keep = jnp.asarray((w_idx >= 0).astype(np.float32))
+    scale_j = jnp.asarray(w_scale)
+    w2p = (w2[:, safe_idx] * (keep * scale_j)[None, :]).astype(cdtype)
+    b2p = b2[safe_idx] * (keep * scale_j)
+
+    Gj = jnp.asarray(G, dtype=cdtype)
+    Es, Rs = _expand_reduce(spec)
+    Ej = jnp.asarray(np.concatenate(Es, axis=1), dtype=cdtype)
+    Rj = jnp.asarray(np.concatenate(Rs, axis=0), dtype=cdtype)
+
+    pad = (-M) % tile_m
+    if pad:
+        z = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        edge_attr, sender, sh = z(edge_attr), z(sender), z(sh)
+        mask = jnp.pad(mask, [(0, pad), (0, 0)])
+    Mp = M + pad
+    return (
+        spec, Dout, Mp, tile_m, tile_k, Fe,
+        edge_attr.astype(cdtype), sender.astype(cdtype), sh.astype(cdtype),
+        mask.astype(jnp.float32)[..., None], w1.astype(cdtype), b1, w2p, b2p, Gj, Ej, Rj,
+    )
+
+
+def _scatter_canonical(out, spec: GeneralSpec, Dout):
+    """Kernel msg columns -> canonical output layout (zeros for output
+    irreps with no admissible path)."""
+    full = jnp.zeros(out.shape[:-1] + (Dout,), out.dtype)
+    perm = np.asarray(spec.out_perm, dtype=np.int64)
+    return full.at[..., perm].set(out)
+
+
+def _call_g(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, irreps_out, tile_m, interpret, sum_k, use_bf16=True):
+    cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    M, K = edge_attr.shape[:2]
+    (spec, Dout, Mp, tile_m, tile_k, Fe, edge_attr, sender, sh, maskf,
+     w1, b1, w2p, b2p, Gj, Ej, Rj) = _prep_g(
+        edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, irreps_out, tile_m, cdtype)
+
+    kernel = functools.partial(_kernel_g, spec=spec, cdtype=cdtype, sum_k=sum_k)
+    if sum_k:
+        out_spec = pl.BlockSpec((tile_m, spec.out_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Mp, spec.out_dim), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((tile_m, tile_k, spec.out_dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Mp, K, spec.out_dim), jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // tile_m, K // tile_k),
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k, Fe), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k, spec.in_dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k, spec.sh_dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((tile_m * tile_k, spec.out_dim), jnp.float32)],
+        interpret=interpret,
+    )(edge_attr, sender, sh, maskf, w1, b1, w2p, b2p, Gj, Ej, Rj)
+
+    out = out[:M]
+    return _scatter_canonical(out, spec, Dout)
+
+
+def fused_tpconv_nbr_g(
+    edge_attr, sender, sh, mask, w1, b1, w2, b2,
+    irreps_in: str, irreps_sh: str, irreps_out: str,
+    tile_m: Optional[int] = None, interpret: bool = False, use_bf16: bool = True, **_ignored,
+):
+    """Fused (edge MLP -> weighted TP -> K-sum) for ANY mul-1 sh irreps.
+    Message sums [M, Dout] in the canonical irreps layout."""
+    return _call_g(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, irreps_out, tile_m, interpret, sum_k=True, use_bf16=use_bf16)
+
+
+def fused_tpconv_msgs_g(
+    edge_attr, sender, sh, mask, w1, b1, w2, b2,
+    irreps_in: str, irreps_sh: str, irreps_out: str,
+    tile_m: Optional[int] = None, interpret: bool = False, use_bf16: bool = True, **_ignored,
+):
+    """Per-edge messages [M, K, Dout] (no K reduction), generalized."""
+    return _call_g(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, irreps_out, tile_m, interpret, sum_k=False, use_bf16=use_bf16)

@@ -281,3 +281,74 @@ def test_v4_rec_gather_matches_reference():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
     assert float(np.abs(np.asarray(got)[1, 8:16]).max()) == 0.0
+
+
+# ---------------------------------------------------------------------- #
+# generalized kernel (any sh_lmax) — the confidence model's lmax=2 path
+# ---------------------------------------------------------------------- #
+
+from confidence_bootstrapping_tpu.ops.pallas import tpconv_g
+
+
+def _xla_reference_g(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, irreps_out):
+    tp = WeightedTensorProduct(irreps_in, irreps_sh, irreps_out)
+    h = jax.nn.relu(edge_attr @ w1 + b1)
+    w = h @ w2 + b2
+    msg = jnp.where(mask[..., None], tp(sender, sh, w), 0.0)
+    return jnp.sum(msg, axis=1), msg
+
+
+def _case_g(irreps_in, irreps_sh, irreps_out, M, K, Fe, H, seed):
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    tp = WeightedTensorProduct(irreps_in, irreps_sh, irreps_out)
+    rng = np.random.RandomState(seed)
+    edge_attr = jnp.asarray(rng.randn(M, K, Fe).astype(np.float32))
+    sender = jnp.asarray(rng.randn(M, K, Irreps(irreps_in).dim).astype(np.float32))
+    sh = spherical_harmonics(irreps_sh, jnp.asarray(rng.randn(M, K, 3).astype(np.float32)))
+    mask_np = rng.rand(M, K) > 0.3
+    mask_np[8:16] = False
+    mask = jnp.asarray(mask_np)
+    w1 = jnp.asarray(rng.randn(Fe, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, tp.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(tp.weight_numel).astype(np.float32) * 0.1)
+    return edge_attr, sender, sh, mask, w1, b1, w2, b2
+
+
+from confidence_bootstrapping_tpu.ops.irreps import Irreps
+
+
+def test_general_kernel_lmax2_matches_xla():
+    """sh = 0e+1o+2e (the all-atom confidence architecture's path)."""
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    sh_irr = "1x0e + 1x1o + 1x2e"
+    case = _case_g(irreps, sh_irr, irreps, 24, 6, 24, 24, 5)
+    want, want_msg = _xla_reference_g(*case, irreps, sh_irr, irreps)
+    got = tpconv_g.fused_tpconv_nbr_g(*case, irreps, sh_irr, irreps, tile_m=8, interpret=True, use_bf16=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+    gotm = tpconv_g.fused_tpconv_msgs_g(*case, irreps, sh_irr, irreps, tile_m=8, interpret=True, use_bf16=False)
+    np.testing.assert_allclose(np.asarray(gotm), np.asarray(want_msg), rtol=3e-4, atol=3e-4)
+    assert float(np.abs(np.asarray(gotm)[8:16]).max()) == 0.0
+
+
+def test_general_kernel_lmax1_matches_v3():
+    """The generalized layout reproduces the specialized lmax=1 kernel."""
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    sh_irr = "1x0e + 1x1o"
+    case = _case_g(irreps, sh_irr, irreps, 24, 6, 24, 24, 6)
+    want, _ = _xla_reference_g(*case, irreps, sh_irr, irreps)
+    got = tpconv_g.fused_tpconv_nbr_g(*case, irreps, sh_irr, irreps, tile_m=8, interpret=True, use_bf16=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+
+def test_general_kernel_asymmetric_irreps():
+    """in != out irreps, including an output irrep with no admissible path
+    (0o from a scalar-only input stays zero)."""
+    irreps_in = "6x0e + 2x1o"
+    irreps_out = "4x0e + 3x1o + 2x1e + 1x0o"
+    sh_irr = "1x0e + 1x1o + 1x2e"
+    case = _case_g(irreps_in, sh_irr, irreps_out, 16, 4, 12, 12, 7)
+    want, _ = _xla_reference_g(*case, irreps_in, sh_irr, irreps_out)
+    got = tpconv_g.fused_tpconv_nbr_g(*case, irreps_in, sh_irr, irreps_out, tile_m=8, interpret=True, use_bf16=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
