@@ -334,6 +334,47 @@ class TPConv(nn.Module):
         )
         return out, counts
 
+    def conv_cross(self, group, recv_attr, recv_pos, src_attr, src_pos, idx, edge_emb, idx_mask, sh_lmax=1, deterministic=True):
+        """Messages for a cross group (receivers and senders are different
+        node sets, e.g. ligand <- receptor): senders gathered in-kernel
+        from the per-batch source table on TPU (lmax=1); XLA fallback with
+        identical semantics otherwise. Returns (msg_sum, counts)."""
+        from ..ops.graph_builders import gather_nodes
+        from ..ops.irreps import spherical_harmonics
+        from ..ops.pallas import tpconv_rec as _tpconv_rec
+
+        counts = jnp.sum(idx_mask, axis=-1).astype(jnp.float32)
+        ns = edge_emb.shape[-1] if edge_emb.shape[-1] * 3 == self.n_edge_features else self.n_edge_features // 3
+        use_fused = (
+            self._fused_mode(deterministic) == "ladder1"
+            and sh_lmax == 1
+            and self.n_edge_features == edge_emb.shape[-1] + 2 * ns
+        )
+        if not use_fused:
+            sender = gather_nodes(src_attr, idx)
+            spos = gather_nodes(src_pos, idx)
+            vec = spos - recv_pos[:, :, None, :]
+            sh = spherical_harmonics(sh_lmax, vec)
+            scal = recv_attr[..., :ns]
+            eattr = jnp.concatenate(
+                [
+                    edge_emb,
+                    jnp.broadcast_to(scal[:, :, None, :], sender[..., :ns].shape),
+                    sender[..., :ns],
+                ],
+                axis=-1,
+            )
+            return self.conv_nbr(group, sender, sh, eattr, idx_mask, deterministic=deterministic)[0], counts
+
+        p = self.edge_mlps[group].variables["params"]
+        w1, b1 = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
+        w2, b2 = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
+        out = _tpconv_rec.fused_tpconv_cross(
+            recv_attr, recv_pos, src_attr, src_pos, idx, edge_emb, idx_mask,
+            w1, b1, w2, b2, self.in_irreps, self.out_irreps, ns,
+        )
+        return out, counts
+
     def msgs_nbr(self, group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=True):
         """Per-edge messages over a neighbor list [..., K, *] -> [..., K, out],
         masked entries exactly zero. Fused Pallas path on TPU (same gating as

@@ -422,14 +422,11 @@ class TensorProductScoreModel(nn.Module):
             # ligand <- ligand
             lig_sum, lig_cnt = self._lig_conv(layer, g_lig, lig_attr, g, batch, det)
 
-            # ligand <- receptor (lr)
-            cr_sender = gather_nodes(rec_attr, cr_idx)
-            cr_sender_scal = cr_sender[..., :ns]
-            eattr_lr = jnp.concatenate(
-                [cr_emb, jnp.broadcast_to(lig_scal[:, :, None, :], cr_emb.shape[:-1] + (ns,)), cr_sender_scal],
-                axis=-1,
+            # ligand <- receptor (lr): in-kernel gather from the rec table
+            s_lr, c_lr2 = layer.conv_cross(
+                g_lr, lig_attr, batch.lig_pos, rec_attr, batch.rec_pos,
+                cr_idx, cr_emb, cr_mask, sh_lmax=c.sh_lmax, deterministic=det,
             )
-            s_lr, c_lr2 = layer.conv_nbr(g_lr, cr_sender, cr_sh, eattr_lr, cr_mask, deterministic=det)
             lig_sum = lig_sum + s_lr
             lig_cnt = lig_cnt + c_lr2
 
@@ -443,6 +440,7 @@ class TensorProductScoreModel(nn.Module):
                 )
 
                 # receptor <- ligand (reversed cross edges)
+                cr_sender_scal = gather_nodes(rec_attr, cr_idx)[..., :ns]
                 eattr_rl = jnp.concatenate(
                     [cr_emb, cr_sender_scal, jnp.broadcast_to(lig_scal[:, :, None, :], cr_emb.shape[:-1] + (ns,))],
                     axis=-1,

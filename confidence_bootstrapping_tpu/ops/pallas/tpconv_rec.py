@@ -244,3 +244,176 @@ def fused_tpconv_rec(
     if raw:
         return out
     return _from_component_major(out, spec.out_muls)
+
+
+# ---------------------------------------------------------------------- #
+# hetero-receiver variant: ligand receivers gathering receptor senders
+# (the lig <- rec cross group; reference build_cross_conv_graph,
+#  score_model.py:564-587)
+# ---------------------------------------------------------------------- #
+
+
+def _kernel_cross(idx_ref, emb_ref, mask_ref, recv_ref, src_ref,
+                  w1e_ref, w1r_ref, w1s_ref, b1_ref, w2_ref, b2_ref, g_ref, e_ref, r_ref,
+                  out_ref, *, spec: LadderSpec, stripe_of, ofs_pads, numels_pad, e_ofs, r_ofs,
+                  ns: int, cdtype):
+    prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    N = src_ref.shape[1]
+    L = recv_ref.shape[1]
+    K = idx_ref.shape[2]
+    T = L * K
+
+    mask = mask_ref[0].reshape(T, 1)
+    tile_valid = jnp.sum(mask) > 0.0
+
+    @pl.when(jnp.logical_not(tile_valid))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(tile_valid)
+    def _():
+        src_tab = src_ref[0]  # [N, Dr+6]
+        Dr = src_tab.shape[1] - 6
+        recvf = recv_ref[0].astype(jnp.float32)  # [L, Dl+6]
+        Dl = recvf.shape[1] - 6
+
+        idx = idx_ref[0].reshape(T, 1)  # f32 indices
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1).astype(jnp.float32)
+        onehot = (iota == idx).astype(cdtype)
+
+        gath = jnp.dot(onehot, src_tab, preferred_element_type=jnp.float32, precision=prec)
+        sender = gath[:, :Dr].astype(cdtype)
+        spos = gath[:, Dr : Dr + 3] + gath[:, Dr + 3 :]
+        rpos_l = recvf[:, Dl : Dl + 3] + recvf[:, Dl + 3 :]  # [L, 3]
+        vec = spos - jnp.broadcast_to(rpos_l[:, None, :], (L, K, 3)).reshape(T, 3)
+        d2 = jnp.maximum(jnp.sum(vec * vec, axis=1, keepdims=True), 1e-12)
+        sh1 = (vec * jax.lax.rsqrt(d2) * SQRT3).astype(cdtype)
+
+        emb = emb_ref[0].reshape(T, emb_ref.shape[-1])
+        h = jnp.dot(emb.astype(cdtype), w1e_ref[:], preferred_element_type=jnp.float32, precision=prec)
+        hr = jnp.dot(recvf[:, :ns].astype(cdtype), w1r_ref[:], preferred_element_type=jnp.float32, precision=prec)
+        h = h + jnp.broadcast_to(hr[:, None, :], (L, K, hr.shape[-1])).reshape(T, hr.shape[-1])
+        h = h + jnp.dot(sender[:, :ns], w1s_ref[:], preferred_element_type=jnp.float32, precision=prec)
+        h = jnp.maximum(h + b1_ref[:], 0.0).astype(cdtype)
+
+        xa = jnp.concatenate([sender, sender * sh1[:, 0:1], sender * sh1[:, 1:2], sender * sh1[:, 2:3]], axis=1)
+        cfull = jnp.dot(xa, g_ref[:], preferred_element_type=jnp.float32, precision=prec).astype(cdtype)
+
+        b2 = b2_ref[:]
+        parts = []
+        for g, ncomp in ((0, 1), (1, 3), (2, 3), (3, 1)):
+            mul = spec.out_muls[g]
+            if mul == 0:
+                continue
+            n = numels_pad[g]
+            w_g = jnp.dot(h, w2_ref[:, ofs_pads[g] : ofs_pads[g] + n], preferred_element_type=jnp.float32, precision=prec)
+            w_g = (w_g + b2[ofs_pads[g] : ofs_pads[g] + n]).astype(cdtype)
+            E = e_ref[:, e_ofs[g] : e_ofs[g] + n]
+            R = r_ref[r_ofs[g] : r_ofs[g] + n, :]
+            cps = []
+            for ci in range(ncomp):
+                s = int(stripe_of[g, ci])
+                cps.append(cfull[:, s * FAN_PAD : (s + 1) * FAN_PAD])
+            cp = jnp.concatenate(cps, axis=0) if ncomp > 1 else cps[0]
+            cexp = jnp.dot(cp, E, preferred_element_type=jnp.float32, precision=prec).astype(cdtype)
+            wz = jnp.concatenate([w_g] * ncomp, axis=0) if ncomp > 1 else w_g
+            z = (wz * cexp).astype(cdtype)
+            outg = jnp.dot(z, R, preferred_element_type=jnp.float32, precision=prec)
+            for ci in range(ncomp):
+                part = outg[ci * T : (ci + 1) * T, :mul] * mask
+                parts.append(jnp.sum(part.reshape(L, K, mul), axis=1))
+        out_ref[0] = jnp.concatenate(parts, axis=1)
+
+
+def fused_tpconv_cross(
+    recv_attr,  # [B, L, Dl] receivers (canonical irreps layout)
+    recv_pos,  # [B, L, 3]
+    src_attr,  # [B, N, Dr] sender table
+    src_pos,  # [B, N, 3]
+    idx,  # [B, L, K] int32 sender indices into N
+    edge_emb,  # [B, L, K, Fe] embedded cross-edge features (sigma included)
+    mask,  # [B, L, K] bool
+    w1, b1, w2, b2,  # w1 rows = [Fe | ns (receiver) | ns (sender)]
+    irreps_in: str,
+    irreps_out: str,
+    ns: int,
+    interpret: bool = False,
+    use_bf16: bool = True,
+):
+    """Message sums [B, L, Dout] for a cross group whose receivers and
+    senders are different node sets; senders gathered in-kernel from the
+    per-batch table. Semantics match gather + eattr concat + v3
+    fused_tpconv_nbr. One grid program per batch element."""
+    cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    spec = ladder_spec(irreps_in, irreps_out)
+    assert spec is not None
+    B, L, Dl = recv_attr.shape
+    N = src_attr.shape[1]
+    K = idx.shape[2]
+    Fe = edge_emb.shape[-1]
+    assert w1.shape[0] == Fe + 2 * ns
+
+    w_idx, scale, padded_numel, ofs_pads, numels_pad = umajor_layout(spec)
+    safe_idx = jnp.asarray(np.maximum(w_idx, 0))
+    keep = jnp.asarray((w_idx >= 0).astype(np.float32))
+    scale_j = jnp.asarray(scale)
+    w2p = (w2[:, safe_idx] * (keep * scale_j)[None, :]).astype(cdtype)
+    b2p = b2[safe_idx] * (keep * scale_j)
+
+    G, stripe_of = contribution_matrix_canonical(spec)
+    Gj = jnp.asarray(G, dtype=cdtype)
+    Es, Rs = expand_reduce_matrices(spec)
+    e_ofs, r_ofs, acc = [], [], 0
+    for g in range(4):
+        e_ofs.append(acc)
+        r_ofs.append(acc)
+        if Es[g] is not None:
+            acc += Es[g].shape[1]
+    Ej = jnp.asarray(np.concatenate([E for E in Es if E is not None], axis=1), dtype=cdtype)
+    Rj = jnp.asarray(np.concatenate([R for R in Rs if R is not None], axis=0), dtype=cdtype)
+
+    def table(attr, pos):
+        hi = pos.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = (pos - hi).astype(jnp.bfloat16)
+        return jnp.concatenate([attr.astype(cdtype), hi.astype(cdtype), lo.astype(cdtype)], axis=-1)
+
+    src_tab = table(src_attr, src_pos)
+    recv_tab = table(recv_attr, recv_pos)
+
+    w1e = w1[:Fe].astype(cdtype)
+    w1r = w1[Fe : Fe + ns].astype(cdtype)
+    w1s = w1[Fe + ns :].astype(cdtype)
+
+    kernel = functools.partial(
+        _kernel_cross, spec=spec, stripe_of=stripe_of, ofs_pads=tuple(ofs_pads),
+        numels_pad=tuple(numels_pad), e_ofs=tuple(e_ofs), r_ofs=tuple(r_ofs),
+        ns=ns, cdtype=cdtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, K, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, K, Fe), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, K, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, Dl + 6), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, src_tab.shape[-1]), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, spec.out_dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, spec.out_dim), jnp.float32),
+        interpret=interpret,
+    )(
+        idx.astype(jnp.float32)[..., None], edge_emb.astype(cdtype), mask.astype(jnp.float32)[..., None],
+        recv_tab, src_tab,
+        w1e, w1r, w1s, b1, w2p, b2p, Gj, Ej, Rj,
+    )
+    return _from_component_major(out, spec.out_muls)

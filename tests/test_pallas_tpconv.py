@@ -352,3 +352,44 @@ def test_general_kernel_asymmetric_irreps():
     want, _ = _xla_reference_g(*case, irreps_in, sh_irr, irreps_out)
     got = tpconv_g.fused_tpconv_nbr_g(*case, irreps_in, sh_irr, irreps_out, tile_m=8, interpret=True, use_bf16=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+
+def test_cross_gather_matches_reference():
+    """Hetero-receiver variant: ligand receivers gather receptor senders
+    in-kernel (the lig <- rec cross group)."""
+    from confidence_bootstrapping_tpu.ops.graph_builders import gather_nodes
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    spec = tpconv.ladder_spec(irreps, irreps)
+    ns = 8
+    B, L, N, K, Fe, H = 2, 8, 32, 4, 12, 28
+    rng = np.random.RandomState(13)
+    recv = jnp.asarray(rng.randn(B, L, spec.in_dim).astype(np.float32))
+    rpos = jnp.asarray(rng.randn(B, L, 3).astype(np.float32) * 5)
+    src = jnp.asarray(rng.randn(B, N, spec.in_dim).astype(np.float32))
+    spos_t = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 5)
+    idx = jnp.asarray(rng.randint(0, N, (B, L, K)).astype(np.int32))
+    emb = jnp.asarray(rng.randn(B, L, K, Fe).astype(np.float32))
+    mask_np = rng.rand(B, L, K) > 0.3
+    mask = jnp.asarray(mask_np)
+    w1 = jnp.asarray(rng.randn(Fe + 2 * ns, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, spec.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(spec.weight_numel).astype(np.float32) * 0.1)
+
+    sender = gather_nodes(src, idx)
+    sp = gather_nodes(spos_t, idx)
+    sh = spherical_harmonics(1, sp - rpos[:, :, None, :])
+    eattr = jnp.concatenate(
+        [emb, jnp.broadcast_to(recv[:, :, None, :ns], sender[..., :ns].shape), sender[..., :ns]], axis=-1
+    )
+    want = _xla_reference(
+        eattr.reshape(B * L, K, -1), sender.reshape(B * L, K, -1), sh.reshape(B * L, K, 4),
+        mask.reshape(B * L, K), w1, b1, w2, b2, irreps, irreps,
+    ).reshape(B, L, -1)
+    got = tpconv_rec.fused_tpconv_cross(
+        recv, rpos, src, spos_t, idx, emb, mask, w1, b1, w2, b2, irreps, irreps, ns,
+        interpret=True, use_bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
