@@ -317,16 +317,24 @@ def sample_jit(model, variables, batch, key, model_cfg, cfg, return_trajectory=F
     return sample(model, variables, batch, key, model_cfg, cfg, return_trajectory)
 
 
-def score_confidence(conf_model, conf_variables, batch: ComplexBatch, lig_pos=None):
+def score_confidence(conf_model, conf_variables, batch: ComplexBatch, lig_pos=None, shared_receptor: bool = True):
     """Confidence-model scoring of (final) poses at t=0.
 
     batch: the confidence model's graph view of the complexes (possibly
     all-atom); lig_pos overrides ligand positions with sampled poses.
+    shared_receptor embeds the (pose-independent) receptor once at B=1
+    and broadcasts — valid because callers batch replicas of one complex.
     NaNs are mapped to -1000 like the reference (sampling.py:265).
     """
     if lig_pos is not None:
         batch = batch.replace(lig_pos=lig_pos)
     b = batch.set_time(0.0, 0.0, 0.0)
-    out = conf_model.apply(conf_variables, b)
+    kwargs = {}
+    if shared_receptor:
+        b1 = jax.tree.map(lambda a: a[:1], b)
+        cache1 = conf_model.apply(conf_variables, b1, method="embed_receptor")
+        B = b.lig_pos.shape[0]
+        kwargs["rec_cache"] = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape[1:]), cache1)
+    out = conf_model.apply(conf_variables, b, **kwargs)
     conf = out.confidence
     return jnp.nan_to_num(conf, nan=-1000.0)
