@@ -26,6 +26,15 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     try:
         import jax
 
+        # Scope the cache per backend: an AOT executable compiled for one
+        # backend (or libtpu build) must never be replayed on another — a
+        # stale TPU entry poisoning a CPU run fails with a libtpu version
+        # mismatch instead of recompiling.
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "unknown"
+        cache_dir = os.path.join(cache_dir, backend)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
