@@ -43,6 +43,10 @@ def get_parser():
     p.add_argument("--samples_per_complex", "--samples", dest="samples", type=int, default=10)
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--keep_input_conformer", action="store_true",
+                   help="start from the input file's exact geometry instead of a "
+                        "regenerated conformer (the reference regenerates, "
+                        "utils/inference_utils.py:227-243)")
     p.add_argument("--no_final_step_noise", action="store_true")
     p.add_argument("--ode", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -52,6 +56,24 @@ def get_parser():
     p.add_argument("--pocket_cutoff", type=float, default=7.0)
     p.add_argument("--esm_embeddings_path", default=None, help=".pt dict of per-chain ESM2 embeddings")
     return p
+
+
+def peek_model_config(model_dir, default_cfg=None):
+    """Read a model dir's config WITHOUT initializing the model — used to
+    decide featurization (e.g. all_atoms graphs for an all-atom confidence
+    model) before any batch exists."""
+    if model_dir and os.path.exists(os.path.join(model_dir, checkpoints.CONFIG_NAME)):
+        from ..config import load_score_config
+
+        return load_score_config(os.path.join(model_dir, checkpoints.CONFIG_NAME))
+    if model_dir and os.path.exists(os.path.join(model_dir, "model_parameters.yml")):
+        import yaml
+
+        from ..models.factory import config_from_reference_manifest
+
+        with open(os.path.join(model_dir, "model_parameters.yml")) as f:
+            return config_from_reference_manifest(yaml.safe_load(f) or {})
+    return default_cfg
 
 
 def load_or_init_model(model_dir, ckpt, example_batch, default_cfg=None):
@@ -125,19 +147,45 @@ def main(argv=None):
 
 
 def dock_one(args):
-    name = args.complex_name or os.path.splitext(os.path.basename(args.ligand))[0]
+    if args.complex_name:
+        name = args.complex_name
+    elif os.path.exists(args.ligand):
+        name = os.path.splitext(os.path.basename(args.ligand))[0]
+    else:  # SMILES string: make it filesystem-safe
+        name = "".join(c if c.isalnum() else "_" for c in args.ligand)[:60] or "ligand"
     os.makedirs(os.path.join(args.out_dir, name), exist_ok=True)
 
     t0 = time.time()
-    mol = mol_io.read_molecule(args.ligand)
+    if os.path.exists(args.ligand):
+        mol = mol_io.read_molecule(args.ligand)
+        ligand_is_smiles = False
+    else:
+        # not a file -> SMILES (reference dock.py tries MolFromSmiles first,
+        # utils/inference_utils.py:227-233); embedded conformer, no crystal
+        from ..data.conformers import mol_from_smiles
+
+        mol = mol_from_smiles(args.ligand, seed=args.seed)
+        ligand_is_smiles = True
     structure = mol_io.parse_pdb(args.protein_path)
     lm = load_esm_for_structure(args.esm_embeddings_path, structure)
-    hc = featurize.build_host_complex(name, mol, structure, lm_embeddings=lm)
+    # inference protocol: dock from a freshly generated conformer, never the
+    # input file's exact geometry (reference utils/inference_utils.py:227-243)
+    # SMILES ligands already carry a fresh embedded conformer
+    conformer_mode = "input" if (args.keep_input_conformer or ligand_is_smiles) else "generate"
+    # an all-atom confidence model needs receptor-atom graphs in the batch
+    conf_cfg = peek_model_config(args.confidence_model_dir) if args.confidence_model_dir else None
+    need_atoms = bool(conf_cfg is not None and conf_cfg.all_atoms)
+    hc = featurize.build_host_complex(
+        name, mol, structure, lm_embeddings=lm,
+        conformer_mode=conformer_mode, conformer_seed=args.seed,
+        all_atoms=need_atoms,
+    )
     heavy = mol.remove_hs()
 
     n_lm = 1280 if lm is not None else 0
     default_cfg = ScoreModelConfig(lm_embedding_dim=n_lm)
-    bucket = pick_bucket(len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src), len(hc.rec_f))
+    bucket = pick_bucket(len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src), len(hc.rec_f),
+                         n_atoms=0 if hc.atom_f is None else len(hc.atom_f), all_atoms=need_atoms)
     padded = pad_complex(hc, bucket, lm_dim=n_lm)
     batch1 = replicate_complex(padded, 1)
     model, cfg, variables = load_or_init_model(args.model_dir, args.ckpt, batch1, default_cfg)

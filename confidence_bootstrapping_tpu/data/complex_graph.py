@@ -152,6 +152,14 @@ class HostComplex(NamedTuple):
     atom_nbr: Optional[np.ndarray] = None
     atom_nbr_mask: Optional[np.ndarray] = None
     atom_res: Optional[np.ndarray] = None
+    # conformer-matching RMSD to the crystal pose (reference rmsd_matching,
+    # process_mols.py:648); 0.0 when the input geometry was used directly.
+    # Appended last so pre-existing pickled caches still unpickle.
+    matching_rmsd: float = 0.0
+    # alternative valid binding poses [P, l, 3] in the centered frame
+    # (reference multi-pose orig_pos list, datasets/moad.py:506-518);
+    # evaluation RMSD is the min over {orig_lig_pos} + these
+    alt_orig_lig_pos: Optional[np.ndarray] = None
 
 
 def pad_complex(hc: HostComplex, bucket: Bucket, lm_dim: int = 1280) -> dict:

@@ -23,6 +23,32 @@ from . import featurize, mol_io
 from .complex_graph import HostComplex, batch_complexes, pad_complex, pick_bucket
 
 
+def _featurize_entry_to_cache(task):
+    """Pool worker: featurize one complex and atomically write its cache
+    file (reference runs multiprocessing pools writing pickle chunks,
+    datasets/moad.py:297-340). Idempotent: an existing file is left alone,
+    concurrent writers race benignly via os.replace. Returns (name, ok)."""
+    name, prot, lig, cache_path, params, lm_emb = task
+    if os.path.exists(cache_path):
+        return name, True
+    try:
+        mol = mol_io.read_molecule(lig)
+        structure = mol_io.parse_pdb(prot)
+        hc = featurize.build_host_complex(name, mol, structure, lm_embeddings=lm_emb, **params)
+        heavy = mol.remove_hs() if params.get("remove_hs", True) else mol
+        alts = discover_alt_poses(lig, heavy.num_atoms)
+        if alts:
+            hc = hc._replace(alt_orig_lig_pos=np.stack(alts) - hc.orig_center[None, None])
+        tmp = f"{cache_path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((hc, heavy), f)
+        os.replace(tmp, cache_path)
+        return name, True
+    except Exception as e:
+        print(f"skipping {name}: {type(e).__name__}: {e}")
+        return name, False
+
+
 class ComplexDataset:
     """A list of featurized complexes with bucket-grouped batch serving."""
 
@@ -42,6 +68,10 @@ class ComplexDataset:
         min_ligand_size: int = 0,
         max_receptor_size: Optional[int] = None,
         num_workers: int = 1,
+        matching: bool = False,
+        matching_tries: int = 3,
+        matching_popsize: int = 15,
+        matching_maxiter: int = 20,
     ):
         self.params = dict(
             remove_hs=remove_hs,
@@ -52,10 +82,41 @@ class ComplexDataset:
             atom_radius=atom_radius,
             atom_max_neighbors=atom_max_neighbors,
         )
+        # training-time conformer matching (reference pdbbind.py matching
+        # flag -> process_mols.py:609-666): the served pose carries
+        # ETKDG-style local geometry matched+aligned to the crystal
+        if matching:
+            self.params.update(
+                conformer_mode="match",
+                matching_tries=matching_tries,
+                matching_popsize=matching_popsize,
+                matching_maxiter=matching_maxiter,
+            )
         self.cache_dir = cache_dir
         self.lm_embeddings = lm_embeddings or {}
         self.complexes: List[HostComplex] = []
         self.mols: Dict[str, mol_io.Molecule] = {}
+
+        if num_workers > 1 and cache_dir and len(entries) > 1:
+            # parallel host preprocessing (reference multiprocessing pools,
+            # datasets/moad.py:297-340): workers fill the idempotent
+            # per-complex cache, the parent then loads serially below —
+            # byte-identical to a serial build (same code path writes)
+            import multiprocessing as mp
+
+            os.makedirs(cache_dir, exist_ok=True)
+            tasks = [
+                (name, prot, lig, os.path.join(cache_dir, self._cache_key(name, prot, lig)),
+                 self.params, self.lm_embeddings.get(name))
+                for name, prot, lig in entries
+                if not os.path.exists(os.path.join(cache_dir, self._cache_key(name, prot, lig)))
+            ]
+            if tasks:
+                ctx = mp.get_context("spawn")  # never fork a JAX-initialized process
+                with ctx.Pool(num_workers) as pool:
+                    chunk = max(1, min(1000, len(tasks) // num_workers))  # reference: 1000-complex chunks
+                    for _name, _ok in pool.imap_unordered(_featurize_entry_to_cache, tasks, chunksize=chunk):
+                        pass
 
         for name, prot, lig in entries:
             try:
@@ -86,6 +147,9 @@ class ComplexDataset:
         structure = mol_io.parse_pdb(prot)
         hc = featurize.build_host_complex(name, mol, structure, lm_embeddings=self.lm_embeddings.get(name), **self.params)
         heavy = mol.remove_hs() if self.params["remove_hs"] else mol
+        alts = discover_alt_poses(lig, heavy.num_atoms)
+        if alts:
+            hc = hc._replace(alt_orig_lig_pos=np.stack(alts) - hc.orig_center[None, None])
         if self.cache_dir:
             with open(path, "wb") as f:
                 pickle.dump((hc, heavy), f)
@@ -93,6 +157,26 @@ class ComplexDataset:
 
     def __len__(self):
         return len(self.complexes)
+
+    def print_statistics(self):
+        """Dataset sanity statistics at load (reference pdbbind.py:427-461):
+        ligand/receptor sizes, radii, torsion counts, matching RMSD."""
+        if not self.complexes:
+            print("dataset is empty")
+            return
+        lig_sizes = np.array([len(hc.lig_f) for hc in self.complexes])
+        rec_sizes = np.array([len(hc.rec_f) for hc in self.complexes])
+        tors = np.array([len(hc.tor_src) for hc in self.complexes])
+        lig_rad = np.array([np.linalg.norm(hc.lig_pos - hc.lig_pos.mean(0), axis=1).max() for hc in self.complexes])
+        rec_rad = np.array([np.linalg.norm(hc.rec_pos, axis=1).max() for hc in self.complexes])
+        match = np.array([hc.matching_rmsd for hc in self.complexes])
+        print(f"dataset: {len(self.complexes)} complexes")
+        print(f"  ligand atoms  mean {lig_sizes.mean():.1f}  max {lig_sizes.max()}")
+        print(f"  rotatable bonds mean {tors.mean():.1f}  max {tors.max()}")
+        print(f"  receptor residues mean {rec_sizes.mean():.1f}  max {rec_sizes.max()}")
+        print(f"  ligand radius mean {lig_rad.mean():.2f}  receptor radius mean {rec_rad.mean():.2f}")
+        if match.any():
+            print(f"  conformer matching rmsd mean {match.mean():.3f}  max {match.max():.3f}")
 
     def lm_dim(self):
         dims = {hc.rec_lm.shape[-1] for hc in self.complexes}
@@ -147,6 +231,30 @@ def batches_from_padded(padded, batch_size: int, rng: np.random.RandomState, dro
             batches.append(batch_complexes(chosen))
     rng.shuffle(batches)
     return batches
+
+
+def discover_alt_poses(lig_path: str, n_heavy: int) -> List[np.ndarray]:
+    """Alternative ground-truth binding poses next to the primary ligand.
+
+    Convention mirroring the reference's multi-pose lookup
+    (datasets/moad.py:506-518 scans sibling ``{base}_{i}.pdb`` files): any
+    ``{stem}_{i}{ext}`` sibling of ``{stem}{ext}`` whose heavy-atom count
+    matches the primary ligand contributes its coordinates as an extra
+    valid pose. Evaluation takes the min-RMSD over all of them.
+    """
+    stem, ext = os.path.splitext(lig_path)
+    out = []
+    for i in range(100):
+        p = f"{stem}_{i}{ext}"
+        if not os.path.exists(p):
+            break
+        try:
+            m = mol_io.read_molecule(p).remove_hs()
+        except Exception:
+            continue
+        if m.num_atoms == n_heavy:
+            out.append(np.asarray(m.pos, dtype=np.float32))
+    return out
 
 
 def discover_dir(data_dir: str, names: Optional[Sequence[str]] = None, protein_suffix="_protein_processed.pdb"):

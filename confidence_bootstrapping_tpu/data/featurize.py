@@ -292,19 +292,62 @@ def build_host_complex(
     atom_max_neighbors: int = 8,
     with_sidechains: bool = False,
     chain_cutoff: Optional[float] = None,
+    conformer_mode: str = "input",
+    conformer_seed: int = 0,
+    matching_tries: int = 3,
+    matching_popsize: int = 15,
+    matching_maxiter: int = 20,
 ) -> HostComplex:
     """Featurize one complex and center it at the receptor centroid
     (the reference centers all graphs at the receptor center,
     process_mols.py / inference_utils.py). chain_cutoff drops whole receptor
     chains with no atom within that distance of the ligand (reference
-    moad.py:214-258)."""
+    moad.py:214-258).
+
+    conformer_mode controls where the ligand's starting geometry comes from:
+
+    * "input": use the file's coordinates as-is (the reference's
+      ``matching=False`` branch and the only round-1 behavior);
+    * "generate": replace the starting geometry with a freshly generated
+      conformer (reference inference protocol, utils/inference_utils.py:
+      227-243) — when the input SDF is the crystal ligand, ring pucker and
+      bond geometry no longer leak from the answer. ``orig_lig_pos`` keeps
+      the input coordinates as the evaluation ground truth;
+    * "match": conformer-match a generated conformer's torsions to the
+      input pose and use the aligned result as BOTH the start geometry and
+      the regression target (reference training protocol,
+      datasets/process_mols.py:609-666); the crystal pose stays in
+      ``orig_lig_pos`` and the matching RMSD is recorded on the complex.
+    """
     feats, heavy, esrc, edst, eattr = featurize_ligand(mol, remove_hs=remove_hs)
+    crystal_pos = heavy.pos.copy()
+    matching_rmsd = 0.0
+    if conformer_mode == "generate":
+        from .conformers import generate_conformer
+
+        gen = generate_conformer(heavy, seed=conformer_seed)
+        # place the generated conformer at the crystal centroid so the
+        # receptor-centered frame below stays sensible; randomize_position
+        # re-draws the translation from the diffusion prior anyway
+        heavy = heavy.replace_pos(gen - gen.mean(axis=0) + crystal_pos.mean(axis=0))
+    elif conformer_mode == "match":
+        from .conformers import conformer_match
+
+        matched, matching_rmsd = conformer_match(
+            heavy, crystal_pos, tries=matching_tries, popsize=matching_popsize,
+            maxiter=matching_maxiter, seed=conformer_seed,
+        )
+        heavy = heavy.replace_pos(matched)
+    elif conformer_mode != "input":
+        raise ValueError(f"unknown conformer_mode {conformer_mode!r}")
     if chain_cutoff is not None:
         keep_chains = set()
         for r in structure.residues:
             if r.chain in keep_chains or "CA" not in r.atoms:
                 continue
-            d = np.linalg.norm(heavy.pos - r.atoms["CA"][None], axis=1).min()
+            # chain proximity is judged against the crystal pose (the input
+            # coordinates), not a regenerated conformer
+            d = np.linalg.norm(crystal_pos - r.atoms["CA"][None], axis=1).min()
             if d < chain_cutoff:
                 keep_chains.add(r.chain)
         if keep_chains:
@@ -346,6 +389,10 @@ def build_host_complex(
         rec_nbr=rec_nbr,
         rec_nbr_mask=rec_nbr_mask,
         orig_center=center.astype(np.float32),
-        orig_lig_pos=(heavy.pos - center).astype(np.float32),
+        # evaluation ground truth stays the input (crystal) pose even when
+        # the starting geometry was regenerated/matched (reference keeps
+        # orig_pos = crystal, process_mols.py:615-620)
+        orig_lig_pos=(crystal_pos - center).astype(np.float32),
+        matching_rmsd=float(matching_rmsd),
         **atom_kwargs,
     )

@@ -57,6 +57,11 @@ class Molecule:
     def heavy_indices(self):
         return np.nonzero(self.atomic_nums != 1)[0]
 
+    def replace_pos(self, pos: np.ndarray) -> "Molecule":
+        """Same topology with new coordinates (conformer swap)."""
+        assert pos.shape == self.pos.shape, (pos.shape, self.pos.shape)
+        return Molecule(self.atomic_nums, np.asarray(pos, dtype=self.pos.dtype), self.bonds, self.charges, self.name)
+
     def remove_hs(self) -> "Molecule":
         """Heavy-atom submolecule; explicit H counts retrievable via bonds."""
         keep = self.heavy_indices()
@@ -154,6 +159,164 @@ def read_molecule(path: str) -> Molecule:
     if path.endswith(".mol2"):
         return parse_mol2(path)
     raise ValueError(f"unsupported ligand format: {path}")
+
+
+_ORGANIC_SUBSET = {"B": 5, "C": 6, "N": 7, "O": 8, "P": 15, "S": 16, "F": 9, "Cl": 17, "Br": 35, "I": 53}
+_SYMBOL_TO_NUM = {"H": 1, "He": 2, "Li": 3, "Be": 4, "Na": 11, "Mg": 12, "Al": 13, "Si": 14,
+                  "K": 19, "Ca": 20, "Fe": 26, "Zn": 30, "Se": 34, "As": 33, **_ORGANIC_SUBSET}
+_DEFAULT_VALENCE = {5: 3, 6: 4, 7: 3, 8: 2, 9: 1, 15: 3, 16: 2, 17: 1, 35: 1, 53: 1}
+
+
+def parse_smiles(smiles: str, add_hs: bool = True, name: str = "") -> Molecule:
+    """Minimal RDKit-free SMILES parser -> Molecule (no 3D coordinates; use
+    ``conformers.embed_molecule`` to generate them).
+
+    Mirrors the subset the reference needs from RDKit's MolFromSmiles
+    (dock.py SMILES ligands, datasets/pdb.py random-ligand attachment):
+    organic-subset atoms, bracket atoms with charge/H-count, branches, ring
+    closures (incl. %nn), bond orders -/=/#/:, aromatic lowercase atoms
+    (aromatic bonds become order 4), dots rejected. Stereo markers (/\\@)
+    are accepted and ignored (docking randomizes torsions anyway). With
+    add_hs, implicit hydrogens (standard valences; aromatic bonds count
+    1.5) are added as explicit H atoms at position 0 so featurization's
+    explicit-H counting matches the reference AddHs protocol.
+    """
+    nums: List[int] = []
+    charges: List[int] = []
+    aromatic: List[bool] = []
+    explicit_h: List[int] = []  # bracket-specified H counts (-1 = implicit)
+    bonds: List[Tuple[int, int, int]] = []
+
+    prev_stack: List[Optional[int]] = []
+    prev: Optional[int] = None
+    pending_bond: Optional[int] = None
+    ring: Dict[int, Tuple[int, Optional[int]]] = {}
+
+    def add_atom(z: int, arom: bool, charge: int = 0, h: int = -1) -> int:
+        nums.append(z)
+        charges.append(charge)
+        aromatic.append(arom)
+        explicit_h.append(h)
+        return len(nums) - 1
+
+    def close_bond(a: int, b: int, order: Optional[int]):
+        if order is None:
+            order = 4 if (aromatic[a] and aromatic[b]) else 1
+        bonds.append((a, b, order))
+
+    i, n = 0, len(smiles)
+    bond_chars = {"-": 1, "=": 2, "#": 3, ":": 4, "/": 1, "\\": 1}
+    while i < n:
+        ch = smiles[i]
+        if ch in bond_chars:
+            pending_bond = bond_chars[ch]
+            i += 1
+        elif ch == "(":
+            prev_stack.append(prev)
+            i += 1
+        elif ch == ")":
+            prev = prev_stack.pop()
+            i += 1
+        elif ch == ".":
+            raise ValueError("disconnected SMILES fragments are not supported")
+        elif ch == "[":
+            j = smiles.index("]", i)
+            body = smiles[i + 1 : j]
+            k = 0
+            while k < len(body) and body[k].isdigit():  # isotope, ignored
+                k += 1
+            sym = body[k]
+            if k + 1 < len(body) and body[k + 1].islower() and body[k : k + 2] in _SYMBOL_TO_NUM:
+                sym = body[k : k + 2]
+                k += 2
+            else:
+                k += 1
+            arom = sym.islower()
+            z = _SYMBOL_TO_NUM.get(sym.capitalize())
+            if z is None:
+                raise ValueError(f"unknown element {sym!r} in SMILES")
+            h, charge = 0, 0
+            while k < len(body):
+                c = body[k]
+                if c == "H":
+                    k += 1
+                    cnt = ""
+                    while k < len(body) and body[k].isdigit():
+                        cnt += body[k]
+                        k += 1
+                    h = int(cnt) if cnt else 1
+                elif c in "+-":
+                    sgn = 1 if c == "+" else -1
+                    k += 1
+                    cnt = ""
+                    while k < len(body) and body[k].isdigit():
+                        cnt += body[k]
+                        k += 1
+                    if cnt:
+                        charge += sgn * int(cnt)
+                    else:
+                        charge += sgn
+                        while k < len(body) and body[k] == c:  # ++ / --
+                            charge += sgn
+                            k += 1
+                else:  # stereo (@), class (:n) — ignored
+                    k += 1
+            a = add_atom(z, arom, charge, h)
+            if prev is not None:
+                close_bond(prev, a, pending_bond)
+            prev, pending_bond = a, None
+            i = j + 1
+        elif ch.isdigit() or ch == "%":
+            if ch == "%":
+                num = int(smiles[i + 1 : i + 3])
+                i += 3
+            else:
+                num = int(ch)
+                i += 1
+            if num in ring:
+                a, order = ring.pop(num)
+                close_bond(a, prev, pending_bond if pending_bond is not None else order)
+            else:
+                ring[num] = (prev, pending_bond)
+            pending_bond = None
+        else:
+            sym = ch
+            if i + 1 < n and smiles[i : i + 2] in ("Cl", "Br"):
+                sym = smiles[i : i + 2]
+                i += 2
+            else:
+                i += 1
+            arom = sym.islower()
+            z = _ORGANIC_SUBSET.get(sym.capitalize() if arom else sym)
+            if z is None:
+                raise ValueError(f"unexpected SMILES token {sym!r}")
+            a = add_atom(z, arom, 0, -1)
+            if prev is not None:
+                close_bond(prev, a, pending_bond)
+            prev, pending_bond = a, None
+    if ring:
+        raise ValueError(f"unclosed SMILES ring bond(s): {sorted(ring)}")
+
+    if add_hs:
+        n_heavy = len(nums)
+        order_sum = [0.0] * n_heavy
+        for a, b, o in bonds:
+            v = 1.5 if o == 4 else float(o)
+            order_sum[a] += v
+            order_sum[b] += v
+        for a in range(n_heavy):
+            if explicit_h[a] >= 0:
+                h = explicit_h[a]
+            else:
+                val = _DEFAULT_VALENCE.get(nums[a], 0) + (charges[a] if nums[a] in (7, 15) else -abs(charges[a]))
+                h = max(0, int(np.floor(val - order_sum[a] + 1e-6)))
+            for _ in range(h):
+                nums.append(1)
+                charges.append(0)
+                bonds.append((a, len(nums) - 1, 1))
+
+    pos = np.zeros((len(nums), 3), dtype=np.float32)
+    return Molecule(np.asarray(nums), pos, bonds, np.asarray(charges, dtype=int), name or smiles)
 
 
 def write_sdf(mol: Molecule, pos: np.ndarray, path: str, name: Optional[str] = None, props: Optional[Dict] = None):

@@ -116,11 +116,29 @@ class PDBSidechainDataset:
         max_complexes_per_structure: int = 5,
         seed: int = 0,
         c_alpha_max_neighbors: int = 24,
+        split: Optional[str] = None,
+        add_random_ligand: bool = False,
+        smiles_list: Optional[Sequence[str]] = None,
     ):
+        """split: with a reference-style root layout (list.csv mapping
+        CHAINID->CLUSTER plus valid_clusters.txt / test_clusters.txt,
+        reference datasets/pdb.py:372-405), restrict structures to the
+        given split's clusters (one chain per complex). add_random_ligand:
+        replace the side-chain pseudo-ligand with a random molecule drawn
+        from smiles_list, embedded in 3D and centered at the deleted
+        window (reference :333-362)."""
         self.complexes: List[HostComplex] = []
         self.mols: Dict[str, Molecule] = {}
         rng = np.random.RandomState(seed)
+        self.add_random_ligand = add_random_ligand
+        self.smiles_list = list(smiles_list) if smiles_list else []
+        if add_random_ligand and not self.smiles_list:
+            raise ValueError("add_random_ligand requires a smiles_list")
         files = sorted(f for f in os.listdir(data_dir) if f.endswith(".pdb"))
+        if split is not None:
+            keep = self._read_split(data_dir, split)
+            files = [f for f in files if f[:4].lower() in keep or f[:-4].lower() in keep]
+            print(f"pdb_sidechain split {split}: {len(files)} structures")
         if limit_structures:
             files = files[:limit_structures]
         for f in files:
@@ -131,7 +149,8 @@ class PDBSidechainDataset:
                               and structure.residues[i].name in SIDECHAIN_BONDS]
                 rng.shuffle(candidates)
                 for i in candidates[:max_complexes_per_structure]:
-                    hc = self._make_complex(structure, i, buffer_residue_num, f[:-4], c_alpha_max_neighbors)
+                    hc = self._make_complex(structure, i, buffer_residue_num, f[:-4],
+                                            c_alpha_max_neighbors, rng)
                     if hc is not None:
                         self.complexes.append(hc)
             except Exception as e:
@@ -139,12 +158,63 @@ class PDBSidechainDataset:
         self.names = [hc.name for hc in self.complexes]
         self.by_name = {hc.name: hc for hc in self.complexes}
 
-    def _make_complex(self, structure, res_idx, buffer_n, struct_name, k):
+    @staticmethod
+    def _read_split(root: str, split: str):
+        """Cluster-based splits from list.csv + {valid,test}_clusters.txt
+        (reference datasets/pdb.py:372-405); one chain per complex."""
+        import csv
+
+        rows = []
+        with open(os.path.join(root, "list.csv")) as f:
+            for row in csv.DictReader(f):
+                rows.append((row["CHAINID"], row["CLUSTER"]))
+
+        def read_clusters(name):
+            p = os.path.join(root, name)
+            return {line.strip() for line in open(p) if line.strip()} if os.path.exists(p) else set()
+
+        val, test = read_clusters("valid_clusters.txt"), read_clusters("test_clusters.txt")
+        if split == "train":
+            wanted = {c for _, c in rows} - val - test
+        elif split == "val":
+            wanted = val
+        elif split == "test":
+            wanted = test
+        else:
+            raise ValueError("split must be train, val or test")
+        keep, seen_complexes = set(), set()
+        for chain, cluster in rows:
+            if cluster in wanted and chain[:4] not in seen_complexes:
+                keep.add(chain[:4].lower())
+                keep.add(chain.lower())
+                seen_complexes.add(chain[:4])
+        return keep
+
+    def _make_complex(self, structure, res_idx, buffer_n, struct_name, k, rng=None):
         from .featurize import get_transformation_mask
         from .mol_io import ProteinStructure
 
         residue = structure.residues[res_idx]
-        mol = sidechain_molecule(residue)
+        if self.add_random_ligand:
+            # random molecule from the SMILES list, embedded and placed at
+            # the deleted side chain's location (reference pdb.py:333-362)
+            mol = None
+            rng = rng or np.random.RandomState(0)
+            for _ in range(10):
+                smiles = self.smiles_list[rng.randint(len(self.smiles_list))]
+                try:
+                    from .conformers import mol_from_smiles
+
+                    m = mol_from_smiles(smiles, seed=int(rng.randint(1 << 31))).remove_hs()
+                    anchor = residue.atoms.get("CB", residue.atoms.get("CA"))
+                    mol = m.replace_pos(m.pos - m.pos.mean(0) + anchor)
+                    break
+                except Exception as e:
+                    print(f"pdb_sidechain: failed SMILES {smiles!r}: {e}")
+            if mol is None:
+                return None
+        else:
+            mol = sidechain_molecule(residue)
         if mol is None:
             return None
         # delete a residue window around the pseudo-ligand (reference :274-331)

@@ -66,3 +66,86 @@ def test_combined_nested_and_empty():
     rng = np.random.RandomState(1)
     batches = outer.epoch_batches(batch_size=4, rng=rng)
     assert len(batches) == 1 and int(batches[0].lig_f.shape[0]) == 4
+
+
+def _write_toy_complex_dir(root, name, seed=0, n_res=10, n_lig=7):
+    """Write a parseable {name}/{name}_protein_processed.pdb + ligand sdf."""
+    import os
+
+    from confidence_bootstrapping_tpu.data.mol_io import Molecule, write_sdf
+
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    lines = []
+    serial = 1
+    for i in range(n_res):
+        base = rng.randn(3) * 4
+        for aname, elem, off in (("N", "N", [1.4, 0, 0]), ("CA", "C", [0, 0, 0]), ("C", "C", [0, 1.4, 0])):
+            x, y, z = base + off
+            lines.append(
+                f"ATOM  {serial:5d} {aname:<4s} ALA A{i+1:4d}    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00          {elem:>2s}"
+            )
+            serial += 1
+    with open(os.path.join(d, f"{name}_protein_processed.pdb"), "w") as f:
+        f.write("\n".join(lines) + "\nEND\n")
+    pos = np.cumsum(rng.rand(n_lig, 3) + 0.5, axis=0)
+    bonds = [(i, i + 1, 1) for i in range(n_lig - 1)]
+    mol = Molecule(np.full(n_lig, 6), pos, bonds, np.zeros(n_lig, dtype=int), name)
+    write_sdf(mol, pos, os.path.join(d, f"{name}_ligand.sdf"), name=name)
+    return d
+
+
+def test_parallel_featurization_byte_identical_cache(tmp_path):
+    """VERDICT r1 next-round #9 'Done' criterion: num_workers=2 produces
+    byte-identical caches to serial."""
+    import os
+
+    from confidence_bootstrapping_tpu.data.dataset import ComplexDataset, discover_dir
+
+    data = tmp_path / "data"
+    for i in range(4):
+        _write_toy_complex_dir(str(data), f"cplx{i}", seed=i)
+    entries = discover_dir(str(data))
+    assert len(entries) == 4
+
+    serial_cache = tmp_path / "cache_serial"
+    ds1 = ComplexDataset(entries, cache_dir=str(serial_cache), num_workers=1)
+    par_cache = tmp_path / "cache_par"
+    ds2 = ComplexDataset(entries, cache_dir=str(par_cache), num_workers=2)
+
+    assert len(ds1) == len(ds2) == 4
+    files1 = sorted(os.listdir(serial_cache))
+    files2 = sorted(os.listdir(par_cache))
+    assert files1 == files2 and files1
+    for f in files1:
+        b1 = open(serial_cache / f, "rb").read()
+        b2 = open(par_cache / f, "rb").read()
+        assert b1 == b2, f"cache file {f} differs between serial and parallel builds"
+    for a, b in zip(ds1.complexes, ds2.complexes):
+        np.testing.assert_array_equal(a.lig_pos, b.lig_pos)
+        np.testing.assert_array_equal(a.rec_pos, b.rec_pos)
+
+
+def test_multi_pose_alt_files_discovered(tmp_path):
+    """Sibling {name}_ligand_{i}.sdf files become alternative ground-truth
+    poses (reference multi-pose orig_pos, moad.py:506-518)."""
+    import os
+
+    from confidence_bootstrapping_tpu.data.dataset import ComplexDataset, discover_dir
+    from confidence_bootstrapping_tpu.data.mol_io import read_molecule, write_sdf
+    from confidence_bootstrapping_tpu.eval import rmsd as rmsd_mod
+
+    data = tmp_path / "data"
+    d = _write_toy_complex_dir(str(data), "ab12", seed=3)
+    primary = read_molecule(os.path.join(d, "ab12_ligand.sdf"))
+    write_sdf(primary, primary.pos + 8.0, os.path.join(d, "ab12_ligand_0.sdf"), name="alt0")
+    entries = discover_dir(str(data))
+    ds = ComplexDataset(entries)
+    hc = ds.complexes[0]
+    assert hc.alt_orig_lig_pos is not None and hc.alt_orig_lig_pos.shape[0] == 1
+    refs = rmsd_mod.ground_truth_poses(hc)
+    assert refs.shape[0] == 2
+    # a pose at the alternate site scores ~0 under min-over-poses
+    r = rmsd_mod.symmetry_rmsd(refs, hc.alt_orig_lig_pos[0], primary.atomic_nums, primary.bonds)
+    assert float(r) < 1e-5
