@@ -39,10 +39,20 @@ def get_parser():
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--cache_ids", default="1", help="comma-separated generation cache ids to combine")
     p.add_argument("--cache_creation_id", default=None, help="generate this cache id then exit")
-    p.add_argument("--rmsd_classification_cutoff", type=float, default=2.0)
+    p.add_argument("--rmsd_classification_cutoff", type=float, nargs="+", default=[2.0],
+                   help="one cutoff = binary BCE; several = multi-bin cross-entropy "
+                        "(reference confidence_train.py:73)")
     p.add_argument("--rmsd_classification_upper", type=float, default=4.0)
     p.add_argument("--rmsd_prediction", action="store_true")
     p.add_argument("--no_balance", action="store_true")
+    p.add_argument("--atom_confidence_loss_weight", type=float, default=0.0,
+                   help="per-atom confidence loss weight (the pretrained recipe uses 0.5, "
+                        "workdir/pretrained_confidence/model_parameters.yml)")
+    p.add_argument("--atom_rmsd_classification_cutoff", type=float, nargs="+", default=[2.0])
+    p.add_argument("--confidence_loss_weight", type=float, default=1.0)
+    p.add_argument("--trajectory_sampling", action="store_true",
+                   help="train on random reverse-diffusion frames with their diffusion "
+                        "time stamped (reference confidence/dataset.py:307-310)")
     p.add_argument("--all_atoms", action="store_true", default=True)
     p.add_argument("--ns", type=int, default=24)
     p.add_argument("--nv", type=int, default=6)
@@ -89,6 +99,7 @@ def main(argv=None):
         cdataset.generate_filtering_cache(
             score_model, score_vars, gen_targets, k, score_cfg,
             args.samples_per_complex, args.inference_steps, gen_dir, args.cache_creation_id,
+            trajectory=args.trajectory_sampling,
         )
         print(f"generated cache id {args.cache_creation_id}")
         return
@@ -100,23 +111,41 @@ def main(argv=None):
             cdataset.generate_filtering_cache(
                 score_model, score_vars, gen_targets, k, score_cfg,
                 args.samples_per_complex, args.inference_steps, gen_dir, cid.strip(),
+                trajectory=args.trajectory_sampling,
             )
         )
     cache = cdataset.combine_caches(caches)
 
-    cfg = confidence_model_config(ns=args.ns, nv=args.nv, all_atoms=args.all_atoms)
+    cutoff = args.rmsd_classification_cutoff
+    if len(cutoff) == 1:
+        cutoff = cutoff[0]  # reference collapses single-element lists (:190-193)
+    atom_cutoff = None
+    if args.atom_confidence_loss_weight > 0:
+        atom_cutoff = args.atom_rmsd_classification_cutoff
+        if len(atom_cutoff) == 1:
+            atom_cutoff = atom_cutoff[0]
+
+    cfg = confidence_model_config(
+        ns=args.ns, nv=args.nv, all_atoms=args.all_atoms,
+        num_confidence_outputs=len(cutoff) + 1 if isinstance(cutoff, list) else 1,
+        atom_confidence=args.atom_confidence_loss_weight > 0,
+        atom_num_confidence_outputs=len(atom_cutoff) + 1 if isinstance(atom_cutoff, list) else 1,
+    )
     model = get_model(cfg)
     example_c = replicate_complex(targets[0].padded, args.batch_size).set_time(0.0, 0.0, 0.0)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), example_c)
 
     ds = cdataset.FilteringDataset(
-        targets, cache, args.rmsd_classification_cutoff,
+        targets, cache, cutoff,
         None if args.rmsd_prediction else args.rmsd_classification_upper,
-        balance=not args.no_balance, rmsd_prediction=args.rmsd_prediction,
+        balance=not args.no_balance and not isinstance(cutoff, list),
+        rmsd_prediction=args.rmsd_prediction,
+        atom_label_cutoff=atom_cutoff, trajectory_sampling=args.trajectory_sampling,
     )
     val_ds = cdataset.FilteringDataset(
-        val_targets, cache, args.rmsd_classification_cutoff, None, balance=False,
+        val_targets, cache, cutoff, None, balance=False,
         rmsd_prediction=args.rmsd_prediction,
+        atom_label_cutoff=atom_cutoff, trajectory_sampling=args.trajectory_sampling,
     )
     print("train set:", ds.statistics())
 
@@ -124,6 +153,8 @@ def main(argv=None):
     state, history = ctrain.train_confidence(
         model, variables, ds, cache, tcfg, args.n_epochs, args.batches_per_epoch,
         key, val_dataset=val_ds, val_cache=cache, rmsd_prediction=args.rmsd_prediction,
+        confidence_loss_weight=args.confidence_loss_weight,
+        atom_confidence_loss_weight=args.atom_confidence_loss_weight,
     )
 
     save_yaml(cfg, os.path.join(args.workdir, checkpoints.CONFIG_NAME))

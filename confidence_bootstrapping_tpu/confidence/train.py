@@ -15,15 +15,42 @@ import numpy as np
 import optax
 
 from ..config import ScoreModelConfig, TrainConfig
-from ..train.losses import confidence_loss
+from ..train.losses import atom_confidence_loss, confidence_loss
 from ..train.train_loop import AverageMeter, TrainState, init_train_state, make_optimizer
 
 
-def make_confidence_train_step(model, cfg: TrainConfig, rmsd_prediction: bool = False):
+def _normalize_labels(labels):
+    """Accept a bare label array (back-compat) or the FilteringDataset
+    labels dict; -> dict with at least 'y'."""
+    if isinstance(labels, dict):
+        return labels
+    return {"y": labels}
+
+
+def _accuracy(pred, y, rmsd_prediction):
+    if rmsd_prediction:
+        return jnp.mean(jnp.abs(pred - y))
+    if y.ndim >= 2 and y.shape[-1] > 1:  # one-hot bins
+        return jnp.mean((jnp.argmax(pred, -1) == jnp.argmax(y, -1)).astype(jnp.float32))
+    return jnp.mean(((pred > 0) == (y > 0.5)).astype(jnp.float32))
+
+
+def make_confidence_train_step(
+    model,
+    cfg: TrainConfig,
+    rmsd_prediction: bool = False,
+    confidence_loss_weight: float = 1.0,
+    atom_confidence_loss_weight: float = 0.0,
+):
+    """Jitted confidence train step. With atom_confidence_loss_weight > 0
+    the model's per-atom head is trained jointly (reference
+    confidence_train.py:249-261, the pretrained recipe uses weight 0.5)."""
     tx = make_optimizer(cfg)
 
     @jax.jit
     def step(state: TrainState, batch, labels, key):
+        labels_d = _normalize_labels(labels)
+
         def loss_fn(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -33,10 +60,18 @@ def make_confidence_train_step(model, cfg: TrainConfig, rmsd_prediction: bool = 
                 rngs={"dropout": key},
                 mutable=["batch_stats"],
             )
-            loss = confidence_loss(out.confidence, labels, rmsd_prediction)
-            return loss, (out.confidence, mut["batch_stats"])
+            closs = confidence_loss(out.confidence, labels_d["y"], rmsd_prediction)
+            aloss = jnp.float32(0.0)
+            if atom_confidence_loss_weight > 0:
+                if out.atom_confidence is None:
+                    raise ValueError("atom_confidence_loss_weight > 0 requires a model with atom_confidence=True")
+                if "atom_y" not in labels_d:
+                    raise ValueError("atom_confidence_loss_weight > 0 requires atom_y labels (set atom_label_cutoff)")
+                aloss = atom_confidence_loss(out.atom_confidence, labels_d["atom_y"], batch.lig_mask)
+            loss = confidence_loss_weight * closs + atom_confidence_loss_weight * aloss
+            return loss, (closs, aloss, out.confidence, mut["batch_stats"])
 
-        (loss, (pred, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (closs, aloss, pred, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         ok = jnp.isfinite(loss)
         grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -44,22 +79,25 @@ def make_confidence_train_step(model, cfg: TrainConfig, rmsd_prediction: bool = 
         new_params = optax.apply_updates(state.params, updates)
         decay = jnp.minimum(cfg.ema_rate, (1 + state.step) / (10 + state.step))
         new_ema = jax.tree.map(lambda e, p: decay * e + (1 - decay) * p, state.ema_params, new_params)
-        if rmsd_prediction:
-            acc = jnp.mean(jnp.abs(pred - labels))
-        else:
-            acc = jnp.mean(((pred > 0) == (labels > 0.5)).astype(jnp.float32))
+        acc = _accuracy(pred, labels_d["y"], rmsd_prediction)
         new_state = TrainState(new_params, jax.tree.map(lambda a, b: jnp.where(ok, b, a), state.batch_stats, new_bs),
                                new_opt, new_ema, state.step + 1, state.lr_scale)
-        return new_state, dict(confidence_loss=loss, accuracy=acc)
+        return new_state, dict(loss=loss, confidence_loss=closs, atom_confidence_loss=aloss, accuracy=acc)
 
     return step
 
 
-def make_confidence_eval_step(model, rmsd_prediction: bool = False):
+def make_confidence_eval_step(model, rmsd_prediction: bool = False, atom_confidence_loss_weight: float = 0.0,
+                              confidence_loss_weight: float = 1.0):
     @jax.jit
     def step(state: TrainState, batch, labels):
+        labels_d = _normalize_labels(labels)
         out = model.apply({"params": state.params, "batch_stats": state.batch_stats}, batch)
-        loss = confidence_loss(out.confidence, labels, rmsd_prediction)
+        loss = confidence_loss_weight * confidence_loss(out.confidence, labels_d["y"], rmsd_prediction)
+        if atom_confidence_loss_weight > 0 and "atom_y" in labels_d:
+            loss = loss + atom_confidence_loss_weight * atom_confidence_loss(
+                out.atom_confidence, labels_d["atom_y"], batch.lig_mask
+            )
         return loss, out.confidence
 
     return step
@@ -139,12 +177,16 @@ def train_confidence(
     val_dataset=None,
     val_cache=None,
     rmsd_prediction: bool = False,
+    confidence_loss_weight: float = 1.0,
+    atom_confidence_loss_weight: float = 0.0,
     log: Callable[[str], None] = print,
 ):
     """Full confidence training loop; returns (state, history)."""
     state = init_train_state(variables, cfg)
-    train_step = make_confidence_train_step(model, cfg, rmsd_prediction)
-    eval_step = make_confidence_eval_step(model, rmsd_prediction)
+    train_step = make_confidence_train_step(model, cfg, rmsd_prediction,
+                                            confidence_loss_weight, atom_confidence_loss_weight)
+    eval_step = make_confidence_eval_step(model, rmsd_prediction, atom_confidence_loss_weight,
+                                          confidence_loss_weight)
     history = []
     best_acc = -np.inf
     best_state = state
@@ -153,19 +195,25 @@ def train_confidence(
         for _ in range(batches_per_epoch):
             key, k1, k2 = jax.random.split(key, 3)
             batch, labels = dataset.sample_batch(cache, cfg.batch_size)
-            state, metrics = train_step(state, batch, jnp.asarray(labels), k2)
+            state, metrics = train_step(state, batch, labels, k2)
             meter.add({k_: float(v) for k_, v in metrics.items()})
         entry = dict(epoch=epoch, train=meter.summary())
 
         if val_dataset is not None:
-            all_labels, all_scores, losses = [], [], []
+            all_y, all_scores, losses = [], [], []
             for _ in range(max(1, batches_per_epoch // 4)):
                 batch, labels = val_dataset.sample_batch(val_cache, cfg.batch_size)
-                loss, scores = eval_step(state, batch, jnp.asarray(labels))
+                loss, scores = eval_step(state, batch, labels)
                 losses.append(float(loss))
-                all_labels.append(labels)
-                all_scores.append(np.asarray(scores))
-            labels_, scores_ = np.concatenate(all_labels), np.concatenate(all_scores)
+                y = labels["y"] if isinstance(labels, dict) else labels
+                s = np.asarray(scores)
+                if y.ndim >= 2 and y.shape[-1] > 1:
+                    # binned mode: binary view = "in the best bin", score =
+                    # the best-bin logit (reference ranks by bin-0 prob)
+                    y, s = y[..., 0], s[..., 0]
+                all_y.append(y)
+                all_scores.append(s)
+            labels_, scores_ = np.concatenate(all_y), np.concatenate(all_scores)
             acc = float(np.mean((scores_ > 0) == (labels_ > 0.5)))
             entry["val"] = dict(loss=float(np.mean(losses)), accuracy=acc, roc_auc=roc_auc(labels_, scores_))
             if acc > best_acc:

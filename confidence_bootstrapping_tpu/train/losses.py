@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import so3, torus
@@ -99,11 +100,35 @@ def sidechain_losses(sidechain_pred, rec_sidechain, rec_mask):
     return sidechain_loss, backbone_loss, chi_base, bb_base
 
 
+def _bce_with_logits(logits, labels):
+    logp = jnp.logaddexp(0.0, -logits)  # -log sigmoid(x)
+    lognp = jnp.logaddexp(0.0, logits)  # -log (1 - sigmoid(x))
+    return labels * logp + (1 - labels) * lognp
+
+
 def confidence_loss(confidence_pred, labels, rmsd_prediction=False):
-    """BCE pose-classification loss (or MSE on RMSD when rmsd_prediction),
-    reference confidence/confidence_train.py:208-280."""
+    """Pose-level confidence loss (reference confidence_train.py:239-248):
+    MSE on RMSD when rmsd_prediction; multi-bin cross-entropy when the
+    labels are one-hot over RMSD bins ([b, nbins], the list-cutoff mode);
+    binary cross-entropy otherwise."""
     if rmsd_prediction:
         return jnp.mean((confidence_pred - labels) ** 2)
-    logp = jnp.logaddexp(0.0, -confidence_pred)  # -log sigmoid(x)
-    lognp = jnp.logaddexp(0.0, confidence_pred)  # -log (1 - sigmoid(x))
-    return jnp.mean(labels * logp + (1 - labels) * lognp)
+    if labels.ndim == confidence_pred.ndim and labels.ndim >= 2 and labels.shape[-1] > 1:
+        logz = jax.scipy.special.logsumexp(confidence_pred, axis=-1, keepdims=True)
+        return -jnp.mean(jnp.sum(labels * (confidence_pred - logz), axis=-1))
+    return jnp.mean(_bce_with_logits(confidence_pred, labels))
+
+
+def atom_confidence_loss(atom_pred, atom_labels, lig_mask):
+    """Per-atom confidence loss over real ligand atoms (reference
+    confidence_train.py:249-258): BCE for atom_pred [b, L] with binary
+    labels, cross-entropy for atom_pred [b, L, nbins] with one-hot bins.
+    Padded atoms are masked out of the mean."""
+    m = lig_mask.astype(jnp.float32)
+    if atom_pred.ndim == 3 and atom_pred.shape[-1] > 1:
+        logz = jax.scipy.special.logsumexp(atom_pred, axis=-1, keepdims=True)
+        per_atom = -jnp.sum(atom_labels * (atom_pred - logz), axis=-1)
+    else:
+        atom_pred = atom_pred[..., 0] if atom_pred.ndim == 3 else atom_pred
+        per_atom = _bce_with_logits(atom_pred, atom_labels)
+    return jnp.sum(per_atom * m) / jnp.maximum(jnp.sum(m), 1.0)
