@@ -265,17 +265,36 @@ def convert_all_atom_model(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
-def convert_state_dict(torch_state_dict: Dict[str, Any], cfg) -> Dict[str, Any]:
-    """Best-effort conversion of a reference score-model state dict.
+def normalize_state_dict(obj: Any) -> Dict[str, np.ndarray]:
+    """Reference checkpoint container -> flat {key: np.ndarray}.
 
-    Raises NotImplementedError for architecture pieces we have not mapped;
-    intended to be completed against real checkpoints (absent from this
-    environment). The tested guarantees so far: the TP weight layout and
-    all MLP/embedding mappings above.
+    Handles the reference's three on-disk layouts (train.py:145-150,
+    finetune_train.py:318-323): a raw ``model.state_dict()``, a bundle
+    ``{epoch, model, optimizer, ema_weights}``, and DataParallel's
+    ``module.``-prefixed keys. Torch tensors are detached to numpy."""
+    if isinstance(obj, dict) and "model" in obj and not any(hasattr(v, "shape") for v in obj.values()):
+        obj = obj["model"]
+    out: Dict[str, np.ndarray] = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if hasattr(v, "detach"):  # torch tensor
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def convert_state_dict(torch_state_dict: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Reference checkpoint -> flax variables {params, batch_stats}.
+
+    Dispatches on the architecture: all-atom configs (the pretrained
+    confidence model) -> convert_all_atom_model; coarse-grained (the
+    pretrained score model) -> convert_score_model. Accepts raw state
+    dicts, ``{..., 'model': sd}`` bundles, and ``module.``-prefixed
+    DataParallel dicts. Raises KeyError naming the first missing reference
+    key when the checkpoint does not match the config's architecture.
     """
-    raise NotImplementedError(
-        "reference checkpoint blobs are not available in this environment; "
-        "the layout mapping is documented in this module and the TP weight "
-        "layout compatibility is covered by tests/test_irreps.py::"
-        "test_weighted_tp_matches_reference_faster_tp_constants"
-    )
+    sd = normalize_state_dict(torch_state_dict)
+    if getattr(cfg, "all_atoms", False):
+        return convert_all_atom_model(sd, cfg)
+    return convert_score_model(sd, cfg)
