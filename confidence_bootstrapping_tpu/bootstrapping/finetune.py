@@ -39,7 +39,11 @@ class CBTarget:
     def __init__(self, hc: HostComplex, mol_heavy, lm_dim: int = 0, bucket=None):
         self.hc = hc
         self.mol = mol_heavy  # Molecule (heavy atoms) for symmetry RMSD
-        self.bucket = bucket or pick_bucket(len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src), len(hc.rec_f))
+        self.bucket = bucket or pick_bucket(
+            len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src), len(hc.rec_f),
+            n_atoms=0 if hc.atom_f is None else len(hc.atom_f),
+            all_atoms=hc.atom_f is not None,
+        )
         self.lm_dim = lm_dim
         self.padded = pad_complex(hc, self.bucket, lm_dim=lm_dim)
         self.name = hc.name
@@ -74,8 +78,10 @@ def inference_epoch(
             L = len(target.hc.lig_f)
             poses = np.asarray(final.lig_pos)[:, :L]
 
+            # symmetry-corrected, min over all valid ground-truth binding
+            # poses (reference get_symmetry_rmsd over the orig_pos list)
             rmsds = rmsd_mod.symmetry_rmsd(
-                np.asarray(target.hc.orig_lig_pos), poses, target.mol.atomic_nums, target.mol.bonds
+                rmsd_mod.ground_truth_poses(target.hc), poses, target.mol.atomic_nums, target.mol.bonds
             )
             if cb.oracle_confidence:
                 confidences = -rmsds

@@ -66,6 +66,12 @@ def get_parser():
     p.add_argument("--original_train_dir", default=None)
     p.add_argument("--original_train_split", default=None)
     p.add_argument("--total_trainset_size", type=int, default=100)
+    p.add_argument("--no_matching", action="store_true",
+                   help="use the input SDF geometry for rollout targets instead of "
+                        "conformer-matched poses")
+    p.add_argument("--matching_tries", type=int, default=1)
+    p.add_argument("--matching_popsize", type=int, default=20)
+    p.add_argument("--matching_maxiter", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit_complexes", type=int, default=0)
     return p
@@ -110,7 +116,11 @@ def main(argv=None):
     entries = discover_dir(args.data_dir, names)
     if args.limit_complexes:
         entries = entries[: args.limit_complexes]
-    ds = ComplexDataset(entries, cache_dir=args.cache_path)
+    matching_kwargs = dict(
+        matching=not args.no_matching, matching_tries=args.matching_tries,
+        matching_popsize=args.matching_popsize, matching_maxiter=args.matching_maxiter,
+    )
+    ds = ComplexDataset(entries, cache_dir=args.cache_path, **matching_kwargs)
     lm = ds.lm_dim()
     targets = []
     for hc in ds.complexes:
@@ -137,7 +147,7 @@ def main(argv=None):
         if args.original_train_split:
             names_o = open(args.original_train_split).read().split()[: args.total_trainset_size]
         entries_o = discover_dir(args.original_train_dir, names_o)[: args.total_trainset_size]
-        original_dataset = ComplexDataset(entries_o, cache_dir=args.cache_path)
+        original_dataset = ComplexDataset(entries_o, cache_dir=args.cache_path, **matching_kwargs)
         print(f"keep_original_train: {len(original_dataset)} original complexes mixed in")
         cb = CBConfig(**{**cb_kwargs, "keep_original_train": True})
 

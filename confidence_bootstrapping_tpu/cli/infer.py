@@ -27,6 +27,7 @@ import numpy as np
 
 from ..config import SamplerConfig, ScoreModelConfig
 from ..data import featurize, mol_io
+from ..data import dataset as dataset_mod
 from ..data.complex_graph import pick_bucket, pad_complex, replicate_complex
 from ..eval import metrics as metrics_mod
 from ..eval import rmsd as rmsd_mod
@@ -48,6 +49,13 @@ def get_parser():
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--limit_failures", type=int, default=5)
+    p.add_argument("--keep_input_conformer", action="store_true",
+                   help="start sampling from the input SDF geometry instead of a "
+                        "regenerated conformer")
+    p.add_argument("--cross_cap", type=int, default=0,
+                   help="override the per-ligand-atom receptor-neighbor capacity of the "
+                        "cross group (0 = model default 48); telemetry is reported as "
+                        "cross_cap_dropped_edge_frac in metrics.json")
     p.add_argument("--no_final_step_noise", action="store_true")
     p.add_argument("--ode", action="store_true")
     # low-temperature sampling (reference inference.py:199-205)
@@ -153,16 +161,35 @@ def main(argv=None):
 
     model = cfg = variables = None
     cmodel = cvars = None
+    # an all-atom confidence model needs receptor-atom graphs in every batch
+    from .dock import peek_model_config
+
+    conf_cfg = peek_model_config(args.confidence_model_dir) if args.confidence_model_dir else None
+    need_atoms = bool(conf_cfg is not None and conf_cfg.all_atoms)
     names, all_rmsds, all_centroids, all_confidences, all_self, run_times = [], [], [], [], [], []
+    overflow_stats = []
     failures = 0
 
     for name, prot_path, lig_path in complexes:
         try:
             mol = mol_io.read_molecule(lig_path)
             structure = mol_io.parse_pdb(prot_path)
-            hc = featurize.build_host_complex(name, mol, structure)
+            # evaluation protocol: sample from a regenerated conformer so the
+            # crystal ligand's ring pucker / bond geometry can't leak into
+            # the metrics (reference utils/inference_utils.py:227-243);
+            # orig_lig_pos keeps the crystal pose as the RMSD ground truth
+            conformer_mode = "input" if args.keep_input_conformer else "generate"
+            hc = featurize.build_host_complex(
+                name, mol, structure, conformer_mode=conformer_mode, conformer_seed=args.seed,
+                all_atoms=need_atoms,
+            )
+            heavy_n = mol.remove_hs().num_atoms
+            alts = dataset_mod.discover_alt_poses(lig_path, heavy_n)
+            if alts:
+                hc = hc._replace(alt_orig_lig_pos=np.stack(alts) - hc.orig_center[None, None])
             heavy = mol.remove_hs()
-            bucket = pick_bucket(len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src), len(hc.rec_f))
+            bucket = pick_bucket(len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src), len(hc.rec_f),
+                                 n_atoms=0 if hc.atom_f is None else len(hc.atom_f), all_atoms=need_atoms)
             padded = pad_complex(hc, bucket, lm_dim=0)
 
             if model is None:
@@ -170,8 +197,21 @@ def main(argv=None):
                 model, cfg, variables = load_or_init_model(
                     args.model_dir, args.ckpt, batch1, ScoreModelConfig(lm_embedding_dim=0)
                 )
+                if args.cross_cap:
+                    import dataclasses
+
+                    from ..models.factory import get_model as _get_model
+
+                    # params are cap-independent; only the module config changes
+                    cfg = dataclasses.replace(cfg, cross_cap=args.cross_cap)
+                    model = _get_model(cfg)
                 if args.confidence_model_dir:
                     cmodel, _, cvars = load_or_init_model(args.confidence_model_dir, args.confidence_ckpt, batch1)
+
+            # cross-edge cap telemetry at the worst-case radius (weak #3):
+            # fraction of in-radius receptor neighbors truncated by the cap
+            ostats = jax.device_get(sampling.cross_overflow_stats(replicate_complex(padded, 1), cfg))
+            overflow_stats.append({k_: float(v) for k_, v in ostats.items()})
 
             t0 = time.time()
             poses_list, confs_list = [], []
@@ -218,7 +258,7 @@ def main(argv=None):
                     relaxed = relax_mod.xtb_relax(heavy, poses[i])
                     if relaxed is not None:
                         poses[i] = relaxed
-            rmsds = rmsd_mod.symmetry_rmsd(hc.orig_lig_pos, poses, heavy.atomic_nums, heavy.bonds)
+            rmsds = rmsd_mod.symmetry_rmsd(rmsd_mod.ground_truth_poses(hc), poses, heavy.atomic_nums, heavy.bonds)
             if args.obrms:
                 from ..eval import relax as relax_mod
 
@@ -272,6 +312,14 @@ def main(argv=None):
     m["n_complexes"] = len(names)
     m["failures"] = failures
     m["poses_per_sec"] = round(float(len(names) * N / max(run_times.sum(), 1e-9)), 3)
+    if overflow_stats:
+        drop = float(np.mean([s["dropped_edge_frac"] for s in overflow_stats]))
+        m["cross_cap"] = int(getattr(cfg, "cross_cap", 48))
+        m["cross_cap_dropped_edge_frac"] = round(drop, 5)
+        m["cross_cap_overflow_atom_frac"] = round(float(np.mean([s["overflow_atom_frac"] for s in overflow_stats])), 5)
+        if drop > 0.01:
+            print(f"WARNING: cross-edge cap {m['cross_cap']} truncates {drop:.1%} of in-radius "
+                  f"edges at sigma_max - consider --cross_cap {2 * m['cross_cap']}")
     with open(f"{args.out_dir}/metrics.json", "w") as f:
         json.dump(m, f, indent=2)
     try:  # ECDF plot of per-complex best/top-confidence RMSDs (reference wandb figures)

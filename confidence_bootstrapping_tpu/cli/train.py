@@ -68,6 +68,12 @@ def get_parser():
     p.add_argument("--lr_start_factor", type=float, default=1e-3)
     p.add_argument("--layer_warmup", type=int, default=0,
                    help="unfreeze one extra conv layer every N epochs (reference layer_linear_warmup)")
+    p.add_argument("--no_matching", action="store_true",
+                   help="train on the input SDF geometry instead of conformer-matched "
+                        "poses (reference trains with matching on: loader.py:136)")
+    p.add_argument("--matching_popsize", type=int, default=20)
+    p.add_argument("--matching_maxiter", type=int, default=20)
+    p.add_argument("--matching_tries", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--data_parallel", action="store_true", help="shard batches over all local devices")
@@ -76,26 +82,52 @@ def get_parser():
     return p
 
 
+def _matching_kwargs(args):
+    """Conformer-matching dataset kwargs (reference loader.py:136:
+    matching = not no_torsion, on by default for training)."""
+    return dict(
+        matching=not args.no_matching,
+        matching_tries=args.matching_tries,
+        matching_popsize=args.matching_popsize,
+        matching_maxiter=args.matching_maxiter,
+    )
+
+
 def _names(path):
     return open(path).read().split() if path else None
 
 
 def inference_benchmark(model, variables, dataset, model_cfg, n_complexes, n_samples, steps, key):
-    """Mini in-training benchmark: RMSD<2A / <5A rates (inference_epoch_fix)."""
+    """Mini in-training benchmark: RMSD<2A / <5A rates (inference_epoch_fix).
+
+    RMSD is symmetry-corrected and min-over-ground-truth-poses (the
+    reference benchmarks with get_symmetry_rmsd, utils/training.py:292-373)
+    — plain RMSD over-penalizes symmetric ligands and multi-pose targets,
+    which would bias early stopping."""
+    from ..data.complex_graph import pad_complex, pick_bucket
+
     sampler_cfg = SamplerConfig(inference_steps=steps)
-    groups = dataset.padded_by_bucket()
-    flat = [(tuple_b, p) for tuple_b, items in groups.items() for p in items]
+    lm = dataset.lm_dim()
     rmsds = []
-    for _, padded in flat[:n_complexes]:
+    for hc in dataset.complexes[:n_complexes]:
         key, k1, k2 = jax.random.split(key, 3)
+        bucket = pick_bucket(len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src), len(hc.rec_f),
+                             n_atoms=0 if hc.atom_f is None else len(hc.atom_f),
+                             all_atoms=hc.atom_f is not None)
+        padded = pad_complex(hc, bucket, lm_dim=lm)
         batch = replicate_complex(padded, n_samples)
         batch = sampling.randomize_position(batch, k1, model_cfg.sigma.tr_sigma_max)
         final, _ = sampling.sample_jit(model, variables, batch, k2, model_cfg, sampler_cfg)
-        L = int(np.asarray(batch.lig_mask)[0].sum())
+        L = len(hc.lig_f)
         poses = np.asarray(final.lig_pos)[:, :L]
-        orig = np.asarray(padded["lig_pos"])[:L]
-        r = np.sqrt(((poses - orig[None]) ** 2).sum(-1).mean(-1))
-        rmsds.append(r.min())  # best-of-N per complex
+        mol = dataset.mols.get(hc.name)
+        ref = rmsd_mod.ground_truth_poses(hc)
+        if mol is not None:
+            r = rmsd_mod.symmetry_rmsd(ref, poses, mol.atomic_nums, mol.bonds)
+        else:  # topology unavailable (synthetic datasets): min-over-poses plain RMSD
+            refs = ref[None] if ref.ndim == 2 else ref
+            r = np.sqrt(((poses[None] - refs[:, None]) ** 2).sum(-1).mean(-1)).min(0)
+        rmsds.append(np.asarray(r).min())  # best-of-N per complex
     rmsds = np.asarray(rmsds)
     return dict(
         valinf_rmsds_lt2=float(np.mean(rmsds < 2)),
@@ -140,11 +172,13 @@ def main(argv=None):
         if len(train_ds) > 1:
             train_ds.complexes = train_ds.complexes[:-k]
     elif args.dataset == "dir":
-        train_ds = ComplexDataset(entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms)
+        train_ds = ComplexDataset(entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms,
+                                  **_matching_kwargs(args))
+        train_ds.print_statistics()
     else:
         from ..data.pdbbind import construct_loader_entries
 
-        train_ds = construct_loader_entries(args, all_atoms=model_cfg.all_atoms)
+        train_ds = construct_loader_entries(args, all_atoms=model_cfg.all_atoms, **_matching_kwargs(args))
         for d in train_ds.datasets:
             if hasattr(d, "print_statistics"):
                 d.print_statistics()
@@ -159,7 +193,8 @@ def main(argv=None):
         print(f"mixed in {len(boot)} bootstrapped complexes")
     if not torsional_mode:
         val_entries = discover_dir(args.data_dir, _names(args.split_val)) if args.split_val else entries[: max(1, len(entries) // 10)]
-        val_ds = ComplexDataset(val_entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms)
+        val_ds = ComplexDataset(val_entries, cache_dir=args.cache_path, all_atoms=model_cfg.all_atoms,
+                                **_matching_kwargs(args))
     print(f"train {len(train_ds)} complexes, val {len(val_ds)}")
 
     model = get_model(model_cfg)

@@ -81,9 +81,21 @@ def symmetry_rmsd(
 ) -> np.ndarray:
     """Minimum RMSD over molecular-graph automorphisms, no superposition.
 
-    ref: [n, 3]; poses: [m, n, 3] (or [n, 3]). Returns [m] (or scalar).
+    ref: [n, 3] — or [P, n, 3] for multi-binding-pose ground truth (the
+    reference's orig_pos LIST, datasets/moad.py:506-518): the minimum over
+    poses AND automorphisms is returned, so a prediction matching ANY valid
+    binding pose scores well.
+    poses: [m, n, 3] (or [n, 3]). Returns [m] (or scalar).
     Falls back to Hungarian assignment if automorphism enumeration fails.
     """
+    ref = np.asarray(ref)
+    if ref.ndim == 3:
+        alts = [
+            symmetry_rmsd(r, poses, atomic_nums, bonds, max_automorphisms, timeout_s)
+            for r in ref
+        ]
+        return np.min(np.stack([np.atleast_1d(np.asarray(a, dtype=np.float64)) for a in alts]), axis=0) \
+            if poses.ndim == 3 else float(min(alts))
     single = poses.ndim == 2
     P = poses[None] if single else poses
     try:
@@ -104,6 +116,16 @@ def symmetry_rmsd(
         for k in range(len(P)):
             best[k] = min(best[k], hungarian_rmsd(ref, P[k], atomic_nums))
     return best[0] if single else best
+
+
+def ground_truth_poses(hc) -> np.ndarray:
+    """Ground-truth pose stack of a HostComplex: [P, l, 3] when alternative
+    binding poses are recorded (multi-pose MOAD ground truth), else the
+    primary [l, 3]. Feed to symmetry_rmsd for min-over-poses metrics."""
+    alt = getattr(hc, "alt_orig_lig_pos", None)
+    if alt is not None and len(alt):
+        return np.concatenate([np.asarray(hc.orig_lig_pos)[None], np.asarray(alt)], axis=0)
+    return np.asarray(hc.orig_lig_pos)
 
 
 def get_symmetry_rmsd(mol, ref_pos, pos_list, mol2=None) -> List[float]:

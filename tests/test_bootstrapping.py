@@ -13,7 +13,7 @@ from confidence_bootstrapping_tpu.models.score_model import TensorProductScoreMo
 from test_score_model import SMALL_CFG
 
 
-def _synthetic_target(name="AAAA_1", seed=0, n_lig=8, n_rec=20):
+def _synthetic_target(name="AAAA_1", seed=0, n_lig=8, n_rec=20, all_atoms=False, n_atoms=30):
     rng = np.random.RandomState(seed)
     pos = np.cumsum(rng.randn(n_lig, 3).astype(np.float32), axis=0)  # chain
     bonds = [(i, i + 1, 1) for i in range(n_lig - 1)]
@@ -31,6 +31,19 @@ def _synthetic_target(name="AAAA_1", seed=0, n_lig=8, n_rec=20):
     from scipy.spatial import cKDTree
 
     _, idx = cKDTree(rec_pos).query(rec_pos, k=k + 1)
+    atom_kwargs = {}
+    if all_atoms:
+        ka = 4
+        atom_res = rng.randint(0, n_rec, size=n_atoms).astype(np.int32)
+        atom_pos = (rec_pos[atom_res] + rng.randn(n_atoms, 3).astype(np.float32) * 1.5)
+        _, aidx = cKDTree(atom_pos).query(atom_pos, k=ka + 1)
+        atom_kwargs = dict(
+            atom_f=rng.randint(0, 3, size=(n_atoms, 4)).astype(np.int32),
+            atom_pos=atom_pos.astype(np.float32),
+            atom_nbr=aidx[:, 1:].astype(np.int32),
+            atom_nbr_mask=np.ones((n_atoms, ka), dtype=bool),
+            atom_res=atom_res,
+        )
     hc = HostComplex(
         name=name,
         lig_f=rng.randint(0, 2, size=(n_lig, 16)),
@@ -48,6 +61,7 @@ def _synthetic_target(name="AAAA_1", seed=0, n_lig=8, n_rec=20):
         rec_nbr_mask=np.ones((n_rec, k), dtype=bool),
         orig_center=np.zeros(3, dtype=np.float32),
         orig_lig_pos=pos,
+        **atom_kwargs,
     )
     return finetune.CBTarget(hc, mol, lm_dim=16)
 

@@ -1,0 +1,56 @@
+"""Evaluator CLI smoke test: mixed receptor buckets + all-atom confidence
+model (round-1 weak #6 — previously untested path)."""
+
+import json
+import os
+
+import numpy as np
+
+from confidence_bootstrapping_tpu.config import ScoreModelConfig, save_yaml
+from confidence_bootstrapping_tpu.train import checkpoints
+
+from test_datasets import _write_toy_complex_dir
+
+
+def _model_dir(path, cfg):
+    os.makedirs(path, exist_ok=True)
+    save_yaml(cfg, os.path.join(path, checkpoints.CONFIG_NAME))
+    return path
+
+
+def test_infer_mixed_buckets_with_aa_confidence(tmp_path):
+    from confidence_bootstrapping_tpu.cli import infer
+
+    data = tmp_path / "data"
+    # two complexes landing in different receptor buckets (64 vs 128)
+    _write_toy_complex_dir(str(data), "aaaa", seed=0, n_res=10)
+    _write_toy_complex_dir(str(data), "bbbb", seed=1, n_res=70)
+
+    score_dir = _model_dir(
+        str(tmp_path / "score"),
+        ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                         lm_embedding_dim=0, dropout=0.0),
+    )
+    conf_dir = _model_dir(
+        str(tmp_path / "conf"),
+        ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                         lm_embedding_dim=0, dropout=0.0, all_atoms=True,
+                         confidence_mode=True),
+    )
+    out = str(tmp_path / "out")
+    infer.main([
+        "--data_dir", str(data), "--out_dir", out,
+        "--model_dir", score_dir, "--confidence_model_dir", conf_dir,
+        "--samples_per_complex", "2", "--inference_steps", "2", "--batch_size", "2",
+    ])
+
+    with open(os.path.join(out, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["n_complexes"] == 2
+    assert m["failures"] == 0
+    # cross-cap telemetry present (weak #3)
+    assert "cross_cap_dropped_edge_frac" in m
+    assert m["cross_cap_dropped_edge_frac"] >= 0.0
+    confs = np.load(os.path.join(out, "confidences.npy"))
+    assert confs.shape == (2, 2)
+    assert np.isfinite(confs).all()  # AA confidence model scored both buckets
