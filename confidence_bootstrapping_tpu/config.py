@@ -45,6 +45,14 @@ class ScoreModelConfig:
     cross_max_distance: float = 80.0
     center_max_distance: float = 30.0
     dynamic_max_cross: bool = True
+    # fixed-capacity cap on receptor neighbors per ligand atom in the cross
+    # group (the reference's radius edges are unbounded,
+    # models/score_model.py:564-587; ours are top-K within the radius for
+    # static shapes). Overflow telemetry: sampler.cross_overflow_stats /
+    # the infer CLI's cross_cap_dropped_edge_frac metric.
+    cross_cap: int = 48
+    # same cap for the ligand <- receptor-atom group of the all-atom model
+    atom_cross_cap: int = 32
     lm_embedding_dim: int = 1280  # 0 disables ESM features
     embedding_type: str = "sinusoidal"
     embedding_scale: int = 1000
@@ -84,9 +92,10 @@ class SamplerConfig:
     """Reverse-diffusion sampling knobs (reference utils/sampling.py:59)."""
 
     inference_steps: int = 20
-    # every in-repo caller batches replicas of ONE complex per sample()
-    # call, so the receptor embedding is computed once at B=1 and
-    # broadcast; set False when batching distinct complexes directly
+    # embed the receptor once at B=1 and broadcast over the pose axis when
+    # the batch is replicas of ONE complex (the common case); a batch of
+    # distinct receptors is detected on device and falls back to full
+    # per-element embedding, so True is always safe
     shared_receptor: bool = True
     sigma_schedule: str = "expbeta"
     inf_sched_alpha: float = 1.0

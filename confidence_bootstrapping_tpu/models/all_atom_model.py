@@ -311,7 +311,7 @@ class AllAtomScoreModel(nn.Module):
 
         # cross neighbor lists
         cutoff = (tr_sigma * 3 + 20)[:, None, None] if c.dynamic_max_cross else c.cross_max_distance
-        KC = min(N, 48)
+        KC = min(N, c.cross_cap)
         lr_idx, lr_mask, lr_d = topk_neighbors(batch.lig_pos, batch.rec_pos, cutoff, batch.lig_mask, rec_mask_eff, KC)
         lr_pos = gather_nodes(batch.rec_pos, lr_idx)
         lr_vec = lr_pos - batch.lig_pos[:, :, None, :]
@@ -322,7 +322,7 @@ class AllAtomScoreModel(nn.Module):
             jnp.concatenate([se_c, self.cross_distance_expansion(lr_d)], axis=-1), deterministic=det
         )
 
-        KCA = min(A, 32)
+        KCA = min(A, c.atom_cross_cap)
         la_idx, la_mask, la_d = topk_neighbors(
             batch.lig_pos, batch.atom_pos, c.lig_max_radius, batch.lig_mask, atom_mask_eff, KCA
         )

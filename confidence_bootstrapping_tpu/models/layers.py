@@ -334,17 +334,37 @@ class TPConv(nn.Module):
         )
         return out, counts
 
-    def conv_cross(self, group, recv_attr, recv_pos, src_attr, src_pos, idx, edge_emb, idx_mask, sh_lmax=1, deterministic=True):
+    def conv_cross(self, group, recv_attr, recv_pos, src_attr, src_pos, idx, edge_emb, idx_mask, sh_lmax=1, deterministic=True, ns=None):
         """Messages for a cross group (receivers and senders are different
         node sets, e.g. ligand <- receptor): senders gathered in-kernel
         from the per-batch source table on TPU (lmax=1); XLA fallback with
-        identical semantics otherwise. Returns (msg_sum, counts)."""
+        identical semantics otherwise. Returns (msg_sum, counts).
+
+        ns: scalar-channel width used for the receiver/sender slices of the
+        edge features. Callers should pass their config's ns explicitly;
+        the fallback inference from tensor widths is kept for back-compat
+        but raises if the layout matches neither expected pattern."""
         from ..ops.graph_builders import gather_nodes
         from ..ops.irreps import spherical_harmonics
         from ..ops.pallas import tpconv_rec as _tpconv_rec
 
         counts = jnp.sum(idx_mask, axis=-1).astype(jnp.float32)
-        ns = edge_emb.shape[-1] if edge_emb.shape[-1] * 3 == self.n_edge_features else self.n_edge_features // 3
+        if ns is None:
+            if edge_emb.shape[-1] * 3 == self.n_edge_features:
+                ns = edge_emb.shape[-1]
+            elif self.n_edge_features % 3 == 0:
+                ns = self.n_edge_features // 3
+            else:
+                raise ValueError(
+                    f"conv_cross cannot infer ns from edge layout (edge_emb width "
+                    f"{edge_emb.shape[-1]}, n_edge_features {self.n_edge_features}); "
+                    "pass ns explicitly"
+                )
+        if edge_emb.shape[-1] + 2 * ns != self.n_edge_features:
+            raise ValueError(
+                f"conv_cross edge layout mismatch: edge_emb width {edge_emb.shape[-1]} "
+                f"+ 2*ns ({ns}) != n_edge_features {self.n_edge_features}"
+            )
         use_fused = (
             self._fused_mode(deterministic) == "ladder1"
             and sh_lmax == 1

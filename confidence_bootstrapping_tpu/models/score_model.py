@@ -396,7 +396,7 @@ class TensorProductScoreModel(nn.Module):
             crop_cut = (tr_sigma * 3 + c.crop_beyond)[:, None] if not c.confidence_mode else c.crop_beyond
             rec_mask_eff = batch.rec_mask & (d_lr_min < crop_cut)
 
-        KC = min(N, 48)
+        KC = min(N, c.cross_cap)
         cr_idx, cr_mask, cr_d = topk_neighbors(batch.lig_pos, batch.rec_pos, cutoff, batch.lig_mask, rec_mask_eff, KC)
         cr_pos = gather_nodes(batch.rec_pos, cr_idx)
         cr_vec = cr_pos - batch.lig_pos[:, :, None, :]  # lig -> rec
@@ -425,7 +425,7 @@ class TensorProductScoreModel(nn.Module):
             # ligand <- receptor (lr): in-kernel gather from the rec table
             s_lr, c_lr2 = layer.conv_cross(
                 g_lr, lig_attr, batch.lig_pos, rec_attr, batch.rec_pos,
-                cr_idx, cr_emb, cr_mask, sh_lmax=c.sh_lmax, deterministic=det,
+                cr_idx, cr_emb, cr_mask, sh_lmax=c.sh_lmax, deterministic=det, ns=ns,
             )
             lig_sum = lig_sum + s_lr
             lig_cnt = lig_cnt + c_lr2

@@ -91,7 +91,16 @@ def general_layout(irreps_in: str, irreps_sh: str, irreps_out: str):
             lane_ofs = 0
             for ii, si in g.paths:
                 mul_in, iri = ir_in[ii]
-                _, irs = ir_sh[si]
+                mul_sh, irs = ir_sh[si]
+                if mul_sh != 1:
+                    # the contribution matrix G assumes mul-1 sh irreps
+                    # (spherical harmonics); a mul>1 sh entry would build a
+                    # silently wrong G — raise so TPConv._fused_mode's
+                    # except clause routes this layer to the XLA path.
+                    raise ValueError(
+                        f"general_layout requires mul-1 sh irreps, got mul={mul_sh} "
+                        f"for {irs}; use the XLA path"
+                    )
                 cg = clebsch_gordan(iri.l, irs.l, iro.l) * np.sqrt(d3)
                 for m in range(mul_in):
                     for a in range(iri.dim):
