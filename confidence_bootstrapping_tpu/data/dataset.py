@@ -241,13 +241,33 @@ def discover_alt_poses(lig_path: str, n_heavy: int) -> List[np.ndarray]:
     ``{stem}_{i}{ext}`` sibling of ``{stem}{ext}`` whose heavy-atom count
     matches the primary ligand contributes its coordinates as an extra
     valid pose. Evaluation takes the min-RMSD over all of them.
+
+    Additionally, when the stem itself ends in ``_{int}`` (the MOAD
+    superligand naming ``{pdbid}_{chain}_{lig}_{copy}``), sibling copies
+    ``{base}_{i}{ext}`` with i != own copy index are collected the same way
+    (reference datasets/moad.py:506-518 scans exactly this pattern).
     """
     stem, ext = os.path.splitext(lig_path)
-    out = []
+    candidates: List[str] = []
     for i in range(100):
         p = f"{stem}_{i}{ext}"
         if not os.path.exists(p):
             break
+        candidates.append(p)
+    parts = stem.rsplit("_", 1)
+    if len(parts) == 2 and parts[1].isdigit():
+        base, own = parts[0], int(parts[1])
+        for i in range(100):
+            if i == own:
+                continue
+            p = f"{base}_{i}{ext}"
+            if not os.path.exists(p):
+                if i > own:
+                    break
+                continue
+            candidates.append(p)
+    out = []
+    for p in candidates:
         try:
             m = mol_io.read_molecule(p).remove_hs()
         except Exception:

@@ -149,3 +149,30 @@ def test_multi_pose_alt_files_discovered(tmp_path):
     # a pose at the alternate site scores ~0 under min-over-poses
     r = rmsd_mod.symmetry_rmsd(refs, hc.alt_orig_lig_pos[0], primary.atomic_nums, primary.bonds)
     assert float(r) < 1e-5
+
+
+def test_moad_copy_index_alt_poses(tmp_path):
+    """MOAD superligand naming {pdbid}_{chain}_{lig}_{copy}: sibling copies
+    with a different trailing copy index are alternative ground-truth poses
+    (reference moad.py:506-518 scans {base}_{i}.pdb for all i != own)."""
+    import os
+
+    from confidence_bootstrapping_tpu.data.dataset import discover_alt_poses
+    from confidence_bootstrapping_tpu.data.mol_io import read_molecule, write_sdf
+
+    d = _write_toy_complex_dir(str(tmp_path / "data"), "ab12", seed=5)
+    primary_path = os.path.join(d, "ab12_ligand.sdf")
+    primary = read_molecule(primary_path)
+
+    # MOAD layout: ligand file IS copy 1 of base 'xxxx_A_2'
+    moad_dir = tmp_path / "superligand"
+    moad_dir.mkdir()
+    own = str(moad_dir / "xxxx_A_2_1.sdf")
+    write_sdf(primary, primary.pos, own, name="own")
+    write_sdf(primary, primary.pos + 4.0, str(moad_dir / "xxxx_A_2_0.sdf"), name="c0")
+    write_sdf(primary, primary.pos - 4.0, str(moad_dir / "xxxx_A_2_2.sdf"), name="c2")
+
+    alts = discover_alt_poses(own, primary.remove_hs().num_atoms)
+    assert len(alts) == 2
+    deltas = sorted(round(float((a - primary.remove_hs().pos).mean()), 2) for a in alts)
+    assert deltas == [-4.0, 4.0]
