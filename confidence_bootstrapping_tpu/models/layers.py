@@ -395,6 +395,72 @@ class TPConv(nn.Module):
         )
         return out, counts
 
+    def conv_pb(self, group, lig_attr, lig_pos, pair_emb, pair_mask,
+                bond_src, bond_dst, bond_emb, bond_mask, ns, sh_lmax=1, deterministic=True):
+        """Merged ligand<-ligand messages: dense pairs + bond edges in one
+        fused kernel (ops/pallas/tpconv_lig.py) on TPU inference; returns
+        (msg_sum [B, L, out_dim], counts [B, L]) or None when the fused path
+        does not apply (caller falls back to the explicit XLA composition,
+        which needs the precomputed pair/bond spherical harmonics)."""
+        import os
+
+        from ..ops.graph_builders import scatter_count_to_nodes
+        from ..ops.pallas import tpconv_lig as _tpl
+
+        if not (
+            os.environ.get("CBT_FUSED_LIGSIDE", "0") == "1"  # opt-in until TPU-validated
+            and self._fused_mode(deterministic) == "ladder1"
+            and sh_lmax == 1
+            and self.n_edge_features == 3 * ns
+        ):
+            return None
+        p = self.edge_mlps[group].variables["params"]
+        out = _tpl.fused_tpconv_pb(
+            lig_attr, lig_pos, pair_emb, pair_mask, bond_src, bond_dst, bond_emb, bond_mask,
+            p["Dense_0"]["kernel"], p["Dense_0"]["bias"], p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+            self.in_irreps, self.out_irreps, ns,
+        )
+        L = lig_attr.shape[1]
+        counts = jnp.sum(pair_mask, axis=-1).astype(jnp.float32) + scatter_count_to_nodes(bond_src, bond_mask, L)
+        return out, counts
+
+    def conv_cross_rev(self, group_fwd, group_rev, recv_attr, recv_pos, src_attr, src_pos,
+                       idx, edge_emb, idx_mask, ns, sh_lmax=1, deterministic=True):
+        """Both directions of the capped cross edge list in one fused kernel:
+        returns (lig_sum, lig_counts, rec_sum or None, rec_counts or None),
+        or None when the fused path does not apply. group_rev=None skips the
+        reversed direction (the last trunk layer)."""
+        import os
+
+        from ..ops.graph_builders import scatter_count_to_nodes
+        from ..ops.pallas import tpconv_lig as _tpl
+
+        if not (
+            os.environ.get("CBT_FUSED_LIGSIDE", "0") == "1"  # opt-in until TPU-validated
+            and self._fused_mode(deterministic) == "ladder1"
+            and sh_lmax == 1
+            and self.n_edge_features == edge_emb.shape[-1] + 2 * ns
+        ):
+            return None
+        pf = self.edge_mlps[group_fwd].variables["params"]
+        if group_rev is not None:
+            pr = self.edge_mlps[group_rev].variables["params"]
+            rw = (pr["Dense_0"]["kernel"], pr["Dense_0"]["bias"], pr["Dense_1"]["kernel"], pr["Dense_1"]["bias"])
+        else:
+            rw = (None, None, None, None)
+        lig_sum, rec_sum = _tpl.fused_tpconv_cross_rev(
+            recv_attr, recv_pos, src_attr, src_pos, idx, edge_emb, idx_mask,
+            pf["Dense_0"]["kernel"], pf["Dense_0"]["bias"], pf["Dense_1"]["kernel"], pf["Dense_1"]["bias"],
+            *rw, self.in_irreps, self.out_irreps, ns,
+        )
+        lig_counts = jnp.sum(idx_mask, axis=-1).astype(jnp.float32)
+        rec_counts = None
+        if rec_sum is not None:
+            B = idx.shape[0]
+            N = src_attr.shape[1]
+            rec_counts = scatter_count_to_nodes(idx.reshape(B, -1), idx_mask.reshape(B, -1), N)
+        return lig_sum, lig_counts, rec_sum, rec_counts
+
     def msgs_nbr(self, group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=True):
         """Per-edge messages over a neighbor list [..., K, *] -> [..., K, out],
         masked entries exactly zero. Fused Pallas path on TPU (same gating as

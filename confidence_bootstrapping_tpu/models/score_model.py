@@ -309,8 +309,19 @@ class TensorProductScoreModel(nn.Module):
 
     def _lig_conv(self, layer, group, lig_attr, g, batch, deterministic):
         """Messages into ligand nodes from the ligand edge group (bond +
-        dense pairs share one weight MLP). Returns (sum [B,L,D], count)."""
+        dense pairs share one weight MLP). Returns (sum [B,L,D], count).
+
+        On TPU inference the dense pairs + bonds run as ONE fused kernel
+        (ops/pallas/tpconv_lig.fused_tpconv_pb); the explicit composition
+        below is the XLA fallback with identical semantics."""
         ns = self.cfg.ns
+        fused = layer.conv_pb(
+            group, lig_attr, batch.lig_pos, g["pair_emb"], g["pair_mask"],
+            batch.lig_edge_src, batch.lig_edge_dst, g["bond_emb"], batch.lig_edge_mask,
+            ns, sh_lmax=self.cfg.sh_lmax, deterministic=deterministic,
+        )
+        if fused is not None:
+            return fused
         scal = lig_attr[..., :ns]
         B, L = scal.shape[:2]
 
@@ -422,11 +433,22 @@ class TensorProductScoreModel(nn.Module):
             # ligand <- ligand
             lig_sum, lig_cnt = self._lig_conv(layer, g_lig, lig_attr, g, batch, det)
 
-            # ligand <- receptor (lr): in-kernel gather from the rec table
-            s_lr, c_lr2 = layer.conv_cross(
-                g_lr, lig_attr, batch.lig_pos, rec_attr, batch.rec_pos,
-                cr_idx, cr_emb, cr_mask, sh_lmax=c.sh_lmax, deterministic=det, ns=ns,
+            # ligand <- receptor (lr) and receptor <- ligand (rl): one fused
+            # kernel over the shared cross edge list on TPU inference
+            # (ops/pallas/tpconv_lig.fused_tpconv_cross_rev); XLA fallback
+            # below with identical semantics.
+            cr_fused = layer.conv_cross_rev(
+                g_lr, None if last else g_rl, lig_attr, batch.lig_pos, rec_attr, batch.rec_pos,
+                cr_idx, cr_emb, cr_mask, ns, sh_lmax=c.sh_lmax, deterministic=det,
             )
+            if cr_fused is not None:
+                s_lr, c_lr2, s_rl, c_rl = cr_fused
+            else:
+                s_lr, c_lr2 = layer.conv_cross(
+                    g_lr, lig_attr, batch.lig_pos, rec_attr, batch.rec_pos,
+                    cr_idx, cr_emb, cr_mask, sh_lmax=c.sh_lmax, deterministic=det, ns=ns,
+                )
+                s_rl = c_rl = None
             lig_sum = lig_sum + s_lr
             lig_cnt = lig_cnt + c_lr2
 
@@ -439,18 +461,19 @@ class TensorProductScoreModel(nn.Module):
                     sh_lmax=c.sh_lmax, deterministic=det,
                 )
 
-                # receptor <- ligand (reversed cross edges)
-                cr_sender_scal = gather_nodes(rec_attr, cr_idx)[..., :ns]
-                eattr_rl = jnp.concatenate(
-                    [cr_emb, cr_sender_scal, jnp.broadcast_to(lig_scal[:, :, None, :], cr_emb.shape[:-1] + (ns,))],
-                    axis=-1,
-                )
-                lig_sender = jnp.broadcast_to(lig_attr[:, :, None, :], cr_emb.shape[:-1] + (lig_attr.shape[-1],))
-                msg_rl = layer.msgs_nbr(g_rl, lig_sender, cr_sh_rev, eattr_rl, cr_mask, deterministic=det)
-                D = msg_rl.shape[-1]
-                s_rl, c_rl = scatter_mean_to_nodes(
-                    msg_rl.reshape(B, -1, D), cr_idx.reshape(B, -1), cr_mask.reshape(B, -1), N
-                )
+                if s_rl is None:
+                    # receptor <- ligand (reversed cross edges), XLA path
+                    cr_sender_scal = gather_nodes(rec_attr, cr_idx)[..., :ns]
+                    eattr_rl = jnp.concatenate(
+                        [cr_emb, cr_sender_scal, jnp.broadcast_to(lig_scal[:, :, None, :], cr_emb.shape[:-1] + (ns,))],
+                        axis=-1,
+                    )
+                    lig_sender = jnp.broadcast_to(lig_attr[:, :, None, :], cr_emb.shape[:-1] + (lig_attr.shape[-1],))
+                    msg_rl = layer.msgs_nbr(g_rl, lig_sender, cr_sh_rev, eattr_rl, cr_mask, deterministic=det)
+                    D = msg_rl.shape[-1]
+                    s_rl, c_rl = scatter_mean_to_nodes(
+                        msg_rl.reshape(B, -1, D), cr_idx.reshape(B, -1), cr_mask.reshape(B, -1), N
+                    )
                 rec_sum = rec_sum + s_rl
                 rec_cnt = rec_cnt + c_rl
 

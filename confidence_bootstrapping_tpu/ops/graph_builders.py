@@ -74,3 +74,14 @@ def scatter_mean_to_nodes(values, idx, mask, num_nodes):
     sums = jax.ops.segment_sum(v, flat_idx.reshape(-1), num_segments=B * num_nodes)
     cnts = jax.ops.segment_sum(mask.astype(values.dtype).reshape(-1), flat_idx.reshape(-1), num_segments=B * num_nodes)
     return sums.reshape(B, num_nodes, D), cnts.reshape(B, num_nodes)
+
+
+def scatter_count_to_nodes(idx, mask, num_nodes):
+    """Count-only companion of scatter_mean_to_nodes: [B, N] float counts.
+    Used when the message sums themselves are produced in-kernel (the fused
+    ligand-side kernels) and only the mean denominators remain host-side."""
+    B, M = idx.shape
+    base = (jnp.arange(B) * num_nodes)[:, None]
+    flat_idx = jnp.where(mask, idx, 0) + base
+    cnts = jax.ops.segment_sum(mask.astype(jnp.float32).reshape(-1), flat_idx.reshape(-1), num_segments=B * num_nodes)
+    return cnts.reshape(B, num_nodes)

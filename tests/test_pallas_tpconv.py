@@ -393,3 +393,169 @@ def test_cross_gather_matches_reference():
         interpret=True, use_bf16=False,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+
+# ---------------------------------------------------------------------- #
+# merged ligand-side kernels (round-2 roadmap item 1)
+# ---------------------------------------------------------------------- #
+
+from confidence_bootstrapping_tpu.ops.pallas import tpconv_lig
+
+
+def test_pb_pairs_bonds_matches_reference():
+    """Merged dense-pairs + bond-edges kernel vs the explicit XLA path
+    (pair conv + bond messages + scatter-add to src). L=32 forces the
+    receiver tiling (tile_l=16, 2 programs); bonds crossing tiles land in
+    the right receiver tile."""
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    spec = tpconv.ladder_spec(irreps, irreps)
+    ns, H = 8, 24
+    B, L, E = 2, 32, 8
+    rng = np.random.RandomState(17)
+    lig = jnp.asarray(rng.randn(B, L, spec.in_dim).astype(np.float32))
+    pos = jnp.asarray(rng.randn(B, L, 3).astype(np.float32) * 4)
+    pair_emb = jnp.asarray(rng.randn(B, L, L, ns).astype(np.float32))
+    pmask_np = rng.rand(B, L, L) > 0.4
+    pmask_np[:, np.arange(L), np.arange(L)] = False
+    pmask = jnp.asarray(pmask_np)
+    src = jnp.asarray(rng.randint(0, L, (B, E)).astype(np.int32))
+    dst = jnp.asarray(rng.randint(0, L, (B, E)).astype(np.int32))
+    bond_emb = jnp.asarray(rng.randn(B, E, ns).astype(np.float32))
+    bmask = jnp.asarray(rng.rand(B, E) > 0.25)
+    w1 = jnp.asarray(rng.randn(3 * ns, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, spec.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(spec.weight_numel).astype(np.float32) * 0.1)
+
+    # XLA reference: dense pairs
+    scal = lig[..., :ns]
+    vec_p = pos[:, None, :, :] - pos[:, :, None, :]
+    sh_p = spherical_harmonics(1, vec_p)
+    eattr_p = jnp.concatenate(
+        [pair_emb,
+         jnp.broadcast_to(scal[:, :, None, :], (B, L, L, ns)),
+         jnp.broadcast_to(scal[:, None, :, :], (B, L, L, ns))], axis=-1)
+    sender_p = jnp.broadcast_to(lig[:, None, :, :], (B, L, L, spec.in_dim))
+    want = _xla_reference(
+        eattr_p.reshape(B * L, L, -1), sender_p.reshape(B * L, L, -1),
+        sh_p.reshape(B * L, L, 4), pmask.reshape(B * L, L), w1, b1, w2, b2, irreps, irreps,
+    ).reshape(B, L, -1)
+    # XLA reference: bonds (receiver = src, sender = dst)
+    p_src = jnp.take_along_axis(pos, src[..., None], axis=1)
+    p_dst = jnp.take_along_axis(pos, dst[..., None], axis=1)
+    sh_b = spherical_harmonics(1, p_dst - p_src)
+    sc_src = jnp.take_along_axis(scal, src[..., None], axis=1)
+    sender_b = jnp.take_along_axis(lig, dst[..., None], axis=1)
+    eattr_b = jnp.concatenate([bond_emb, sc_src, sender_b[..., :ns]], axis=-1)
+    tp = WeightedTensorProduct(irreps, "1x0e + 1x1o", irreps)
+    h = jax.nn.relu(eattr_b @ w1 + b1)
+    msg_b = jnp.where(bmask[..., None], tp(sender_b, sh_b, h @ w2 + b2), 0.0)
+    scat = jnp.zeros_like(want)
+    for b in range(B):
+        scat = scat.at[b].set(jax.ops.segment_sum(msg_b[b], src[b], num_segments=L))
+    want = want + scat
+
+    got = tpconv_lig.fused_tpconv_pb(
+        lig, pos, pair_emb, pmask, src, dst, bond_emb, bmask,
+        w1, b1, w2, b2, irreps, irreps, ns, interpret=True, use_bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+
+def test_cross_rev_matches_reference():
+    """Merged cross + reversed-cross kernel: the lig<-rec sums match
+    fused_tpconv_cross's contract and the rec<-lig messages are scattered
+    onto receptor nodes exactly like msgs_nbr + segment-sum."""
+    from confidence_bootstrapping_tpu.ops.graph_builders import gather_nodes
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    spec = tpconv.ladder_spec(irreps, irreps)
+    ns, H = 8, 28
+    B, L, N, K = 2, 8, 32, 4
+    rng = np.random.RandomState(19)
+    recv = jnp.asarray(rng.randn(B, L, spec.in_dim).astype(np.float32))
+    rpos = jnp.asarray(rng.randn(B, L, 3).astype(np.float32) * 5)
+    srcn = jnp.asarray(rng.randn(B, N, spec.in_dim).astype(np.float32))
+    spos_t = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 5)
+    idx = jnp.asarray(rng.randint(0, N, (B, L, K)).astype(np.int32))
+    emb = jnp.asarray(rng.randn(B, L, K, ns).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, L, K) > 0.3)
+
+    def mlp_weights(seed):
+        r = np.random.RandomState(seed)
+        return (jnp.asarray(r.randn(3 * ns, H).astype(np.float32) * 0.2),
+                jnp.asarray(r.randn(H).astype(np.float32) * 0.1),
+                jnp.asarray(r.randn(H, spec.weight_numel).astype(np.float32) * 0.2),
+                jnp.asarray(r.randn(spec.weight_numel).astype(np.float32) * 0.1))
+
+    w1f, b1f, w2f, b2f = mlp_weights(23)
+    w1r, b1r, w2r, b2r = mlp_weights(29)
+
+    sender = gather_nodes(srcn, idx)
+    sp = gather_nodes(spos_t, idx)
+    vec = sp - rpos[:, :, None, :]
+    sh = spherical_harmonics(1, vec)
+    eattr = jnp.concatenate(
+        [emb, jnp.broadcast_to(recv[:, :, None, :ns], sender[..., :ns].shape), sender[..., :ns]], axis=-1)
+    want_lig = _xla_reference(
+        eattr.reshape(B * L, K, -1), sender.reshape(B * L, K, -1), sh.reshape(B * L, K, 4),
+        mask.reshape(B * L, K), w1f, b1f, w2f, b2f, irreps, irreps,
+    ).reshape(B, L, -1)
+
+    # reversed: receiver = gathered rec node, sender = lig atom, sh(-vec)
+    sh_rev = spherical_harmonics(1, -vec)
+    eattr_r = jnp.concatenate(
+        [emb, sender[..., :ns], jnp.broadcast_to(recv[:, :, None, :ns], sender[..., :ns].shape)], axis=-1)
+    lig_sender = jnp.broadcast_to(recv[:, :, None, :], (B, L, K, spec.in_dim))
+    tp = WeightedTensorProduct(irreps, "1x0e + 1x1o", irreps)
+    h = jax.nn.relu(eattr_r @ w1r + b1r)
+    msg_r = jnp.where(mask[..., None], tp(lig_sender, sh_rev, h @ w2r + b2r), 0.0)
+    want_rec = jnp.stack([
+        jax.ops.segment_sum(msg_r[b].reshape(L * K, -1), idx[b].reshape(L * K), num_segments=N)
+        for b in range(B)
+    ])
+
+    got_lig, got_rec = tpconv_lig.fused_tpconv_cross_rev(
+        recv, rpos, srcn, spos_t, idx, emb, mask,
+        w1f, b1f, w2f, b2f, w1r, b1r, w2r, b2r,
+        irreps, irreps, ns, interpret=True, use_bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(got_lig), np.asarray(want_lig), rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_rec), np.asarray(want_rec), rtol=3e-4, atol=3e-4)
+
+
+def test_cross_rev_without_rev_matches_cross():
+    """with_rev=None path returns the same lig sums as fused_tpconv_cross."""
+    from confidence_bootstrapping_tpu.ops.graph_builders import gather_nodes
+
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    spec = tpconv.ladder_spec(irreps, irreps)
+    ns, H = 8, 28
+    B, L, N, K = 1, 8, 16, 4
+    rng = np.random.RandomState(31)
+    recv = jnp.asarray(rng.randn(B, L, spec.in_dim).astype(np.float32))
+    rpos = jnp.asarray(rng.randn(B, L, 3).astype(np.float32) * 5)
+    srcn = jnp.asarray(rng.randn(B, N, spec.in_dim).astype(np.float32))
+    spos_t = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 5)
+    idx = jnp.asarray(rng.randint(0, N, (B, L, K)).astype(np.int32))
+    emb = jnp.asarray(rng.randn(B, L, K, ns).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, L, K) > 0.3)
+    w1 = jnp.asarray(rng.randn(3 * ns, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, spec.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(spec.weight_numel).astype(np.float32) * 0.1)
+
+    want = tpconv_rec.fused_tpconv_cross(
+        recv, rpos, srcn, spos_t, idx, emb, mask, w1, b1, w2, b2, irreps, irreps, ns,
+        interpret=True, use_bf16=False,
+    )
+    got, got_rec = tpconv_lig.fused_tpconv_cross_rev(
+        recv, rpos, srcn, spos_t, idx, emb, mask,
+        w1, b1, w2, b2, None, None, None, None,
+        irreps, irreps, ns, interpret=True, use_bf16=False,
+    )
+    assert got_rec is None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
