@@ -347,23 +347,26 @@ class AllAtomScoreModel(nn.Module):
             # ---- ligand receives
             lig_sum, lig_cnt = self._lig_conv(layer, G["lig"], lig_attr, g, batch, det)
 
-            lr_sender = gather_nodes(rec_attr, lr_idx)
-            ea = jnp.concatenate(
-                [lr_emb, jnp.broadcast_to(lig_scal[:, :, None, :], lr_emb.shape[:-1] + (ns,)), lr_sender[..., :ns]], axis=-1
+            # lig <- rec and lig <- atom cross groups through conv_cross so
+            # the fused gather kernels (ladder1 or the generalized lmax=2
+            # variant) apply; the XLA fallback is semantically identical to
+            # the explicit gather + messages composition.
+            s_, c_ = layer.conv_cross(
+                G["lr"], lig_attr, batch.lig_pos, rec_attr, batch.rec_pos,
+                lr_idx, lr_emb, lr_mask, sh_lmax=c.sh_lmax, deterministic=det, ns=ns,
             )
-            m_lr = layer.messages(G["lr"], lr_sender, lr_sh, ea, lr_mask, deterministic=det)
-            lig_sum = lig_sum + jnp.sum(m_lr, axis=2)
-            lig_cnt = lig_cnt + jnp.sum(lr_mask, axis=2).astype(lig_sum.dtype)
-
-            la_sender = gather_nodes(atom_attr, la_idx)
-            ea = jnp.concatenate(
-                [la_emb, jnp.broadcast_to(lig_scal[:, :, None, :], la_emb.shape[:-1] + (ns,)), la_sender[..., :ns]], axis=-1
+            lig_sum = lig_sum + s_
+            lig_cnt = lig_cnt + c_
+            s_, c_ = layer.conv_cross(
+                G["la"], lig_attr, batch.lig_pos, atom_attr, batch.atom_pos,
+                la_idx, la_emb, la_mask, sh_lmax=c.sh_lmax, deterministic=det, ns=ns,
             )
-            m_la = layer.messages(G["la"], la_sender, la_sh, ea, la_mask, deterministic=det)
-            lig_sum = lig_sum + jnp.sum(m_la, axis=2)
-            lig_cnt = lig_cnt + jnp.sum(la_mask, axis=2).astype(lig_sum.dtype)
+            lig_sum = lig_sum + s_
+            lig_cnt = lig_cnt + c_
 
             if not last:
+                lr_sender = gather_nodes(rec_attr, lr_idx)
+                la_sender = gather_nodes(atom_attr, la_idx)
                 # ---- receptor receives (fused in-kernel gather when sh_lmax=1)
                 rec_sum, rec_cnt = layer.conv_rec(
                     G["rec"], rec_attr, batch.rec_pos, batch.rec_nbr,

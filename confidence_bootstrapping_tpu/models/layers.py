@@ -298,15 +298,36 @@ class TPConv(nn.Module):
         from ..ops.pallas import tpconv_rec as _tpconv_rec
         from ..ops.pallas import tpconv_v3 as _tpconv
 
+        import os
+
         counts = jnp.sum(nbr_mask, axis=-1).astype(jnp.float32)
         ns = edge_emb.shape[-1]
         B, N = node_attr.shape[:2]
+        mode = self._fused_mode(deterministic)
         use_fused = (
-            self._fused_mode(deterministic) == "ladder1"
+            mode == "ladder1"
             and sh_lmax == 1
             and self.n_edge_features == 3 * ns
             and N % 32 == 0
         )
+        if (
+            not use_fused
+            and mode == "general"
+            and sh_lmax <= 2
+            and self.n_edge_features == 3 * ns
+            and N % 8 == 0
+            and os.environ.get("CBT_FUSED_REC_G", "0") == "1"  # opt-in until TPU-validated
+        ):
+            # generalized v4: in-kernel gather for the lmax=2 kNN groups
+            from ..ops.pallas import tpconv_g as _tpg
+
+            p = self.edge_mlps[group].variables["params"]
+            out = _tpg.fused_tpconv_rec_g(
+                node_attr, pos, nbr, edge_emb, sig, nbr_mask,
+                p["Dense_0"]["kernel"], p["Dense_0"]["bias"], p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+                self.in_irreps, self.sh_irreps, self.out_irreps, ns,
+            )
+            return out, counts
         if not use_fused:
             # falls through to conv_nbr, which itself applies the fused
             # generalized kernel (tpconv_g) for lmax=2 layouts
@@ -365,11 +386,30 @@ class TPConv(nn.Module):
                 f"conv_cross edge layout mismatch: edge_emb width {edge_emb.shape[-1]} "
                 f"+ 2*ns ({ns}) != n_edge_features {self.n_edge_features}"
             )
+        import os
+
+        mode = self._fused_mode(deterministic)
         use_fused = (
-            self._fused_mode(deterministic) == "ladder1"
+            mode == "ladder1"
             and sh_lmax == 1
             and self.n_edge_features == edge_emb.shape[-1] + 2 * ns
         )
+        if (
+            not use_fused
+            and mode == "general"
+            and sh_lmax <= 2
+            and self.n_edge_features == edge_emb.shape[-1] + 2 * ns
+            and os.environ.get("CBT_FUSED_REC_G", "0") == "1"  # opt-in until TPU-validated
+        ):
+            from ..ops.pallas import tpconv_g as _tpg
+
+            p = self.edge_mlps[group].variables["params"]
+            out = _tpg.fused_tpconv_cross_g(
+                recv_attr, recv_pos, src_attr, src_pos, idx, edge_emb, idx_mask,
+                p["Dense_0"]["kernel"], p["Dense_0"]["bias"], p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+                self.in_irreps, self.sh_irreps, self.out_irreps, ns,
+            )
+            return out, counts
         if not use_fused:
             sender = gather_nodes(src_attr, idx)
             spos = gather_nodes(src_pos, idx)

@@ -559,3 +559,101 @@ def test_cross_rev_without_rev_matches_cross():
     )
     assert got_rec is None
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------- #
+# generalized in-kernel-gather variants (lmax=2, round-2 roadmap item 4)
+# ---------------------------------------------------------------------- #
+
+
+def test_rec_g_gather_matches_reference():
+    """fused_tpconv_rec_g (in-kernel gather + lmax=2 sh + sigma add) matches
+    the explicit gather + general XLA path; masked self-edges contribute
+    zero; a fully-masked receiver tile comes back zero."""
+    from confidence_bootstrapping_tpu.ops.graph_builders import gather_nodes
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    sh_irr = "1x0e + 1x1o + 1x2e"
+    ns = 8
+    Din = Irreps(irreps).dim
+    B, N, K, H = 2, 16, 4, 28
+    rng = np.random.RandomState(41)
+    node = jnp.asarray(rng.randn(B, N, Din).astype(np.float32))
+    pos = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 5)
+    nbr_np = rng.randint(0, N, (B, N, K))
+    nbr_np[0, 3, 1] = 3
+    mask_np = rng.rand(B, N, K) > 0.3
+    mask_np[0, 3, 1] = False
+    mask_np[1, 8:16] = False  # fully-masked receiver tile (tile_n=8)
+    nbr = jnp.asarray(nbr_np.astype(np.int32))
+    mask = jnp.asarray(mask_np)
+    emb = jnp.asarray(rng.randn(B, N, K, ns).astype(np.float32))
+    sig = jnp.asarray(rng.randn(B, ns).astype(np.float32) * 0.3)
+    tp = WeightedTensorProduct(irreps, sh_irr, irreps)
+    w1 = jnp.asarray(rng.randn(3 * ns, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, tp.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(tp.weight_numel).astype(np.float32) * 0.1)
+
+    sender = gather_nodes(node, nbr)
+    spos = gather_nodes(pos, nbr)
+    sh = spherical_harmonics(sh_irr, spos - pos[:, :, None, :])
+    eattr = jnp.concatenate(
+        [emb + sig[:, None, None, :], jnp.broadcast_to(node[:, :, None, :ns], sender[..., :ns].shape), sender[..., :ns]],
+        axis=-1,
+    )
+    want, _ = _xla_reference_g(
+        eattr.reshape(B * N, K, -1), sender.reshape(B * N, K, -1), sh.reshape(B * N, K, -1),
+        mask.reshape(B * N, K), w1, b1, w2, b2, irreps, sh_irr, irreps,
+    )
+    want = want.reshape(B, N, -1)
+
+    got = tpconv_g.fused_tpconv_rec_g(
+        node, pos, nbr, emb, sig, mask, w1, b1, w2, b2, irreps, sh_irr, irreps, ns,
+        tile_n=8, interpret=True, use_bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+    assert float(np.abs(np.asarray(got)[1, 8:16]).max()) == 0.0
+
+
+def test_cross_g_gather_matches_reference():
+    """fused_tpconv_cross_g: hetero receivers (lig <- atom) at lmax=2."""
+    from confidence_bootstrapping_tpu.ops.graph_builders import gather_nodes
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    sh_irr = "1x0e + 1x1o + 1x2e"
+    ns = 8
+    Din = Irreps(irreps).dim
+    B, L, N, K, H = 2, 8, 32, 4, 28
+    rng = np.random.RandomState(43)
+    recv = jnp.asarray(rng.randn(B, L, Din).astype(np.float32))
+    rpos = jnp.asarray(rng.randn(B, L, 3).astype(np.float32) * 5)
+    srcn = jnp.asarray(rng.randn(B, N, Din).astype(np.float32))
+    spos_t = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 5)
+    idx = jnp.asarray(rng.randint(0, N, (B, L, K)).astype(np.int32))
+    emb = jnp.asarray(rng.randn(B, L, K, ns).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, L, K) > 0.3)
+    tp = WeightedTensorProduct(irreps, sh_irr, irreps)
+    w1 = jnp.asarray(rng.randn(3 * ns, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, tp.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(tp.weight_numel).astype(np.float32) * 0.1)
+
+    sender = gather_nodes(srcn, idx)
+    sp = gather_nodes(spos_t, idx)
+    sh = spherical_harmonics(sh_irr, sp - rpos[:, :, None, :])
+    eattr = jnp.concatenate(
+        [emb, jnp.broadcast_to(recv[:, :, None, :ns], sender[..., :ns].shape), sender[..., :ns]], axis=-1
+    )
+    want, _ = _xla_reference_g(
+        eattr.reshape(B * L, K, -1), sender.reshape(B * L, K, -1), sh.reshape(B * L, K, -1),
+        mask.reshape(B * L, K), w1, b1, w2, b2, irreps, sh_irr, irreps,
+    )
+    want = want.reshape(B, L, -1)
+    got = tpconv_g.fused_tpconv_cross_g(
+        recv, rpos, srcn, spos_t, idx, emb, mask, w1, b1, w2, b2, irreps, sh_irr, irreps, ns,
+        interpret=True, use_bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
