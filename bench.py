@@ -12,6 +12,14 @@ poses/s at 20 steps with batched inference (DiffDock-L-class models report
 ~10-20 s per complex for tens of poses; BASELINE.json publishes no number,
 so this documented estimate is the denominator and the driver-stated target
 is >= 5x it).
+
+Sensitivity of the conclusion to that estimate: at ~40 measured poses/s the
+>= 5x target still holds even if the true A100 figure were 4x the estimate
+(8 poses/s -> 5.0x); the reference would have to sustain > 8 poses/s at 20
+steps to invalidate the claim, which is outside every published
+DiffDock-L-class timing we are aware of. The harness has no CUDA device, so
+the reference cannot be measured in this environment; the JSON's
+"baseline_estimated": true flags the denominator as an estimate.
 """
 
 import json
@@ -82,6 +90,7 @@ def main():
                 "value": round(poses_per_sec, 3),
                 "unit": "poses/s",
                 "vs_baseline": round(poses_per_sec / A100_REFERENCE_POSES_PER_SEC, 3),
+                "baseline_estimated": True,
             }
         )
     )

@@ -56,6 +56,9 @@ def get_parser():
                    help="override the per-ligand-atom receptor-neighbor capacity of the "
                         "cross group (0 = model default 48); telemetry is reported as "
                         "cross_cap_dropped_edge_frac in metrics.json")
+    p.add_argument("--old_score_model", action="store_true",
+                   help="use the legacy pre-protein-embedding architecture "
+                        "(reference inference.py --old_score_model)")
     p.add_argument("--no_final_step_noise", action="store_true")
     p.add_argument("--ode", action="store_true")
     # low-temperature sampling (reference inference.py:199-205)
@@ -194,9 +197,15 @@ def main(argv=None):
 
             if model is None:
                 batch1 = replicate_complex(padded, 1)
-                model, cfg, variables = load_or_init_model(
-                    args.model_dir, args.ckpt, batch1, ScoreModelConfig(lm_embedding_dim=0)
-                )
+                default_cfg = ScoreModelConfig(lm_embedding_dim=0, old_score_model=args.old_score_model)
+                model, cfg, variables = load_or_init_model(args.model_dir, args.ckpt, batch1, default_cfg)
+                if args.old_score_model and not cfg.old_score_model:
+                    import dataclasses
+
+                    from ..models.factory import get_model as _get_model
+
+                    cfg = dataclasses.replace(cfg, old_score_model=True)
+                    model = _get_model(cfg)
                 if args.cross_cap:
                     import dataclasses
 

@@ -66,6 +66,13 @@ class ScoreModelConfig:
     depthwise_convolution: bool = False
     sidechain_pred: bool = False
 
+    # legacy (pre-protein-embedding) architecture selector and its knobs
+    # (reference models/old_score_model.py / old_all_atom_score_model.py,
+    # chosen by inference.py --old_score_model)
+    old_score_model: bool = False
+    separate_noise_schedule: bool = False  # sigma emb = concat over tr/rot/tor
+    use_old_atom_encoder: bool = False  # additive-scalar OldAtomEncoder
+
     # confidence-mode heads (reference score_model.py:206-233)
     confidence_mode: bool = False
     num_confidence_outputs: int = 1

@@ -18,6 +18,13 @@ from .score_model import TensorProductScoreModel
 
 
 def get_model(cfg: ScoreModelConfig):
+    if cfg.old_score_model:
+        # legacy pre-protein-embedding architecture (reference
+        # utils/utils.py:182-186 dispatches to models/old_score_model.py
+        # when inference.py --old_score_model is set)
+        from .legacy import OldTensorProductScoreModel
+
+        return OldTensorProductScoreModel(cfg)
     if cfg.all_atoms:
         return AllAtomScoreModel(cfg)
     return TensorProductScoreModel(cfg)
@@ -59,6 +66,8 @@ _DIRECT = {
     "confidence_dropout": "confidence_dropout",
     "confidence_no_batchnorm": "confidence_no_batchnorm",
     "affinity_prediction": "affinity_prediction",
+    "separate_noise_schedule": "separate_noise_schedule",
+    "use_old_atom_encoder": "use_old_atom_encoder",
 }
 
 _INVERTED = {

@@ -52,13 +52,14 @@ SQRT3 = float(np.sqrt(3.0))
 
 
 def _prep_static(spec: LadderSpec, w2s, b2s, cdtype):
-    """Shared static preprocessing: per-group padded w2/b2 (stacked on a
-    leading axis), the canonical G and the concatenated E/R constants."""
+    """Shared static preprocessing: per-group padded w2/b2 (as LISTS — a
+    stacked [G, ...] ref indexed in-kernel lowers to an unsupported Mosaic
+    gather), the canonical G and the concatenated E/R constants."""
     idx, scale, padded_numel, ofs_pads, numels_pad = umajor_layout(spec)
     safe_idx = jnp.asarray(np.maximum(idx, 0))
     keep_scale = jnp.asarray((idx >= 0).astype(np.float32) * scale)
-    w2p = jnp.stack([(w2[:, safe_idx] * keep_scale[None, :]) for w2 in w2s]).astype(cdtype)
-    b2p = jnp.stack([b2[safe_idx] * keep_scale for b2 in b2s]).astype(jnp.float32)
+    w2p = [(w2[:, safe_idx] * keep_scale[None, :]).astype(cdtype) for w2 in w2s]
+    b2p = [(b2[safe_idx] * keep_scale).astype(jnp.float32) for b2 in b2s]
 
     G, stripe_of = contribution_matrix_canonical(spec)
     Gj = jnp.asarray(G, dtype=cdtype)
@@ -187,7 +188,7 @@ def _kernel_pb(pair_emb_ref, pair_mask_ref, bsrc_ref, bdst_ref, bond_emb_ref, bo
 
         xa = jnp.concatenate([srow, srow * sh1[:, 0:1], srow * sh1[:, 1:2], srow * sh1[:, 2:3]], axis=1)
         pipeline = _make_pipeline(spec, stripe_of, ofs_pads, numels_pad, e_ofs, r_ofs, cdtype, prec)
-        parts = pipeline(h, xa, w2_ref[0], b2_ref[0], T, g_ref, e_ref, r_ref)
+        parts = pipeline(h, xa, w2_ref[:], b2_ref[:], T, g_ref, e_ref, r_ref)
 
         outs = []
         # tile-local receiver one-hot built directly (no value slicing)
@@ -278,7 +279,7 @@ def fused_tpconv_pb(
         pair_emb.astype(cdtype), pair_mask.astype(jnp.float32)[..., None],
         bond_src.astype(jnp.float32)[..., None], bond_dst.astype(jnp.float32)[..., None],
         bond_emb.astype(cdtype), bond_mask.astype(jnp.float32)[..., None],
-        lig_tab, w1e, w1r, w1s, b1, w2p, b2p, Gj, Ej, Rj,
+        lig_tab, w1e, w1r, w1s, b1, w2p[0], b2p[0], Gj, Ej, Rj,
     )
     return _from_component_major(out, spec.out_muls)
 
@@ -289,9 +290,16 @@ def fused_tpconv_pb(
 
 
 def _kernel_cross_rev(idx_ref, emb_ref, mask_ref, recv_ref, src_ref,
-                      w1e_ref, w1r_ref, w1s_ref, b1_ref, w2_ref, b2_ref, g_ref, e_ref, r_ref,
-                      out_ref, out_rec_ref=None, *, spec: LadderSpec, stripe_of, ofs_pads, numels_pad,
+                      w1e_f, w1r_f, w1s_f, b1_f, w2_f, b2_f, g_ref, e_ref, r_ref,
+                      *rest, spec: LadderSpec, stripe_of, ofs_pads, numels_pad,
                       e_ofs, r_ofs, ns: int, cdtype, with_rev: bool):
+    # rev-group weights ride as six extra refs (a stacked [2, ...] ref
+    # indexed in-kernel lowers to an unsupported Mosaic gather)
+    if with_rev:
+        (w1e_r, w1r_r, w1s_r, b1_r, w2_r, b2_r, out_ref, out_rec_ref) = rest
+    else:
+        (out_ref,) = rest
+        out_rec_ref = None
     prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else jax.lax.Precision.DEFAULT
     N = src_ref.shape[1]
     L = recv_ref.shape[1]
@@ -329,14 +337,14 @@ def _kernel_cross_rev(idx_ref, emb_ref, mask_ref, recv_ref, src_ref,
         emb = emb_ref[0].reshape(T, emb_ref.shape[-1]).astype(cdtype)
         pipeline = _make_pipeline(spec, stripe_of, ofs_pads, numels_pad, e_ofs, r_ofs, cdtype, prec)
 
-        # ---- forward direction: lig <- rec (weight group 0)
-        h = jnp.dot(emb, w1e_ref[0], preferred_element_type=jnp.float32, precision=prec)
-        hr = jnp.dot(recvf[:, :ns].astype(cdtype), w1r_ref[0], preferred_element_type=jnp.float32, precision=prec)
+        # ---- forward direction: lig <- rec
+        h = jnp.dot(emb, w1e_f[:], preferred_element_type=jnp.float32, precision=prec)
+        hr = jnp.dot(recvf[:, :ns].astype(cdtype), w1r_f[:], preferred_element_type=jnp.float32, precision=prec)
         h = h + jnp.broadcast_to(hr[:, None, :], (L, K, hr.shape[-1])).reshape(T, hr.shape[-1])
-        h = h + jnp.dot(sender[:, :ns], w1s_ref[0], preferred_element_type=jnp.float32, precision=prec)
-        h = jnp.maximum(h + b1_ref[0], 0.0).astype(cdtype)
+        h = h + jnp.dot(sender[:, :ns], w1s_f[:], preferred_element_type=jnp.float32, precision=prec)
+        h = jnp.maximum(h + b1_f[:], 0.0).astype(cdtype)
         xa = jnp.concatenate([sender, sender * sh1[:, 0:1], sender * sh1[:, 1:2], sender * sh1[:, 2:3]], axis=1)
-        parts = pipeline(h, xa, w2_ref[0], b2_ref[0], T, g_ref, e_ref, r_ref)
+        parts = pipeline(h, xa, w2_f[:], b2_f[:], T, g_ref, e_ref, r_ref)
         out_ref[0] = jnp.concatenate(
             [jnp.sum((part * mask).reshape(L, K, mul), axis=1) for part, mul in parts], axis=1
         )
@@ -345,15 +353,25 @@ def _kernel_cross_rev(idx_ref, emb_ref, mask_ref, recv_ref, src_ref,
             # ---- reversed direction: rec <- lig (weight group 1); the
             # receiver is the gathered rec node, the sender the lig atom,
             # sh flips sign (l=1 is odd), the scatter is onehot^T.
-            lrow = jnp.broadcast_to(recvf[:, None, :Dl], (L, K, Dl)).reshape(T, Dl).astype(cdtype)
-            h2 = jnp.dot(emb, w1e_ref[1], preferred_element_type=jnp.float32, precision=prec)
-            h2 = h2 + jnp.dot(sender[:, :ns], w1r_ref[1], preferred_element_type=jnp.float32, precision=prec)
-            hs = jnp.dot(recvf[:, :ns].astype(cdtype), w1s_ref[1], preferred_element_type=jnp.float32, precision=prec)
+            # Row-repeat of the lig features via a one-hot matmul — the
+            # broadcast-of-a-slice form lowers to an unsupported Mosaic
+            # gather; the matmul copies bf16 table values exactly. The
+            # repeat matrix comes from a lane-preserving 3D iota compare
+            # (a (L,K)->(T,1) iota reshape is an unsupported shape cast).
+            rep = (
+                jax.lax.broadcasted_iota(jnp.int32, (L, K, L), 2)
+                == jax.lax.broadcasted_iota(jnp.int32, (L, K, L), 0)
+            ).astype(cdtype).reshape(T, L)  # [T, L], one 1.0 per row
+            lrow = jnp.dot(rep, recv_ref[0][:, :Dl], preferred_element_type=jnp.float32,
+                           precision=prec).astype(cdtype)
+            h2 = jnp.dot(emb, w1e_r[:], preferred_element_type=jnp.float32, precision=prec)
+            h2 = h2 + jnp.dot(sender[:, :ns], w1r_r[:], preferred_element_type=jnp.float32, precision=prec)
+            hs = jnp.dot(recvf[:, :ns].astype(cdtype), w1s_r[:], preferred_element_type=jnp.float32, precision=prec)
             h2 = h2 + jnp.broadcast_to(hs[:, None, :], (L, K, hs.shape[-1])).reshape(T, hs.shape[-1])
-            h2 = jnp.maximum(h2 + b1_ref[1], 0.0).astype(cdtype)
+            h2 = jnp.maximum(h2 + b1_r[:], 0.0).astype(cdtype)
             nsh = -sh1
             xa2 = jnp.concatenate([lrow, lrow * nsh[:, 0:1], lrow * nsh[:, 1:2], lrow * nsh[:, 2:3]], axis=1)
-            parts2 = pipeline(h2, xa2, w2_ref[1], b2_ref[1], T, g_ref, e_ref, r_ref)
+            parts2 = pipeline(h2, xa2, w2_r[:], b2_r[:], T, g_ref, e_ref, r_ref)
             outs = []
             for part, mul in parts2:
                 outs.append(
@@ -400,12 +418,14 @@ def fused_tpconv_cross_rev(
     (w2p, b2p, Gj, Ej, Rj, stripe_of, ofs_pads, numels_pad, e_ofs, r_ofs) = _prep_static(
         spec, w2s, b2s, cdtype
     )
-    w1s_ = [w1_f, w1_r] if with_rev else [w1_f]
-    b1s_ = [b1_f, b1_r] if with_rev else [b1_f]
-    w1e = jnp.stack([w[:ns] for w in w1s_]).astype(cdtype)
-    w1r = jnp.stack([w[ns : 2 * ns] for w in w1s_]).astype(cdtype)
-    w1s = jnp.stack([w[2 * ns :] for w in w1s_]).astype(cdtype)
-    b1 = jnp.stack(b1s_).astype(jnp.float32)
+    def split_w1(w1, b1):
+        return (
+            w1[:ns].astype(cdtype), w1[ns : 2 * ns].astype(cdtype),
+            w1[2 * ns :].astype(cdtype), b1.astype(jnp.float32),
+        )
+
+    fwd_w = split_w1(w1_f, b1_f) + (w2p[0], b2p[0])
+    rev_w = (split_w1(w1_r, b1_r) + (w2p[1], b2p[1])) if with_rev else ()
 
     src_tab = _node_table(src_attr, src_pos, cdtype)
     recv_tab = _node_table(recv_attr, recv_pos, cdtype)
@@ -421,6 +441,7 @@ def fused_tpconv_cross_rev(
         out_shapes.append(jax.ShapeDtypeStruct((B, N, spec.out_dim), jnp.float32))
         out_specs.append(pl.BlockSpec((1, N, spec.out_dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM))
 
+    n_weight_refs = 9 + len(rev_w)  # fwd 6 + G/E/R 3 + rev 6 (if any)
     outs = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -430,23 +451,15 @@ def fused_tpconv_cross_rev(
             pl.BlockSpec((1, L, K, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, Dl + 6), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, src_tab.shape[-1]), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_weight_refs,
         out_specs=out_specs if with_rev else out_specs[0],
         out_shape=out_shapes if with_rev else out_shapes[0],
         interpret=interpret,
     )(
         idx.astype(jnp.float32)[..., None], edge_emb.astype(cdtype), mask.astype(jnp.float32)[..., None],
         recv_tab, src_tab,
-        w1e, w1r, w1s, b1, w2p, b2p, Gj, Ej, Rj,
+        *fwd_w, Gj, Ej, Rj, *rev_w,
     )
     if with_rev:
         lig_out, rec_out = outs
