@@ -14,7 +14,7 @@ Items already carry t=0 (the CB finetune applies its own NoiseTransform).
 
 from __future__ import annotations
 
-import copy
+
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -51,13 +51,25 @@ class CBBuffer:
         return self.fixed_length
 
     def get(self, idx: int) -> dict:
+        """Serve one padded complex.
+
+        In fixed-length mode ``idx`` is intentionally ignored: every access
+        draws confidence-weighted with temperature (reference buffer.py
+        samples by softmax(conf * T) too), so one "epoch" CAN resample
+        duplicates — that is the CB algorithm's behavior, not a bug.
+
+        The returned dict is a fresh container but shares the (read-only)
+        numpy arrays — consumers stack them into device batches and never
+        write in place, so the former per-item deepcopy of ~MB-scale arrays
+        was pure overhead.
+        """
         if self.fixed_length is None:
             item = self.complexes[idx % len(self.complexes)]
         else:
             conf = np.asarray([c.confidence for c in self.complexes])
             w = np.exp(conf * self.temperature)
             item = self.complexes[self.rng.choice(len(self.complexes), p=w / w.sum())]
-        return copy.deepcopy(item.padded)
+        return dict(item.padded)
 
     def sample_batch(self, batch_size: int) -> List[dict]:
         return [self.get(i) for i in range(batch_size)]

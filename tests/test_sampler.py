@@ -88,7 +88,9 @@ def test_sample_jit_temperature_sweep_single_compile():
         final, _ = sampling.sample_jit(model, variables, batch, jax.random.PRNGKey(7), SMALL_CFG, cfg)
         outs.append(np.asarray(final.lig_pos))
     after = sampling._sample_jit_inner._cache_size()
-    assert after - before == 1, f"expected 1 compile for the sweep, got {after - before}"
+    # <= 1: an earlier test may have populated the same cache entry already —
+    # the invariant under test is that the sweep itself never adds a 2nd entry
+    assert after - before <= 1, f"expected <=1 compile for the sweep, got {after - before}"
     # temperatures actually alter the dynamics
     assert np.abs(outs[0] - outs[-1]).max() > 1e-4
     # dynamic-temp jit path agrees with the untraced reference path
