@@ -448,7 +448,7 @@ class TPConv(nn.Module):
         from ..ops.pallas import tpconv_lig as _tpl
 
         if not (
-            os.environ.get("CBT_FUSED_LIGSIDE", "0") == "1"  # opt-in until TPU-validated
+            os.environ.get("CBT_FUSED_LIGSIDE", "1") == "1"  # TPU-validated; =0 to disable
             and self._fused_mode(deterministic) == "ladder1"
             and sh_lmax == 1
             and self.n_edge_features == 3 * ns
@@ -476,7 +476,7 @@ class TPConv(nn.Module):
         from ..ops.pallas import tpconv_lig as _tpl
 
         if not (
-            os.environ.get("CBT_FUSED_LIGSIDE", "0") == "1"  # opt-in until TPU-validated
+            os.environ.get("CBT_FUSED_LIGSIDE", "1") == "1"  # TPU-validated; =0 to disable
             and self._fused_mode(deterministic) == "ladder1"
             and sh_lmax == 1
             and self.n_edge_features == edge_emb.shape[-1] + 2 * ns

@@ -455,6 +455,10 @@ def fused_tpconv_cross_rev(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_weight_refs,
         out_specs=out_specs if with_rev else out_specs[0],
         out_shape=out_shapes if with_rev else out_shapes[0],
+        # both directions' intermediates live on the VMEM stack at once;
+        # at bench shapes (L=24, K=48, N=512) that needs ~18.3 MB scoped
+        # VMEM — above Mosaic's 16 MB default, well under the 64 MB cap
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(
         idx.astype(jnp.float32)[..., None], edge_emb.astype(cdtype), mask.astype(jnp.float32)[..., None],
