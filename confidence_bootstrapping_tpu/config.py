@@ -72,6 +72,14 @@ class ScoreModelConfig:
     old_score_model: bool = False
     separate_noise_schedule: bool = False  # sigma emb = concat over tr/rot/tor
     use_old_atom_encoder: bool = False  # additive-scalar OldAtomEncoder
+    no_aminoacid_identities: bool = False  # zero receptor categorical feats
+    # affinity models score `parallel` poses of one complex per graph: the
+    # confidence head emits [filtering | ns] per pose and the affinity MLP
+    # aggregates pose features over the parallel axis (reference
+    # old_all_atom_score_model.py:118-150, 282-292). Our batch axis IS the
+    # pose axis, so `parallel` consecutive batch elements form one graph.
+    parallel: int = 1
+    parallel_aggregators: str = "mean max min std"
 
     # confidence-mode heads (reference score_model.py:206-233)
     confidence_mode: bool = False

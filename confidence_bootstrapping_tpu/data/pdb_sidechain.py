@@ -52,6 +52,106 @@ _AROMATIC = {"PHE": {"CG", "CD1", "CD2", "CE1", "CE2", "CZ"},
              "TRP": {"CG", "CD1", "CD2", "NE1", "CE2", "CE3", "CZ2", "CZ3", "CH2"},
              "HIS": {"CG", "ND1", "CD2", "CE1", "NE2"}}
 
+# Gly-X-Gly tripeptide SMILES per amino acid + the heavy-atom SMILES index
+# of each chemical-group atom (backbone N/CA/C/O + side chain). Chemical
+# constants tables transcribed for feature parity (reference
+# datasets/constants.py:102-147 amino_acid_smiles / cg_rdkit_indices).
+AMINO_ACID_SMILES: Dict[str, str] = {
+    "PHE": "[NH3+]CC(=O)N[C@@H](Cc1ccccc1)C(=O)NCC(=O)O",
+    "MET": "CSCC[C@H](NC(=O)C[NH3+])C(=O)NCC(=O)O",
+    "TYR": "[NH3+]CC(=O)N[C@@H](Cc1ccc(O)cc1)C(=O)NCC(=O)O",
+    "ILE": "CC[C@H](C)[C@H](NC(=O)C[NH3+])C(=O)NCC(=O)O",
+    "TRP": "[NH3+]CC(=O)N[C@@H](Cc1c[nH]c2ccccc12)C(=O)NCC(=O)O",
+    "THR": "C[C@@H](O)[C@H](NC(=O)C[NH3+])C(=O)NCC(=O)O",
+    "CYS": "[NH3+]CC(=O)N[C@@H](CS)C(=O)NCC(=O)O",
+    "ALA": "C[C@H](NC(=O)C[NH3+])C(=O)NCC(=O)O",
+    "LYS": "[NH3+]CCCC[C@H](NC(=O)C[NH3+])C(=O)NCC(=O)O",
+    "PRO": "[NH3+]CC(=O)N1CCC[C@H]1C(=O)NCC(=O)O",
+    "LEU": "CC(C)C[C@H](NC(=O)C[NH3+])C(=O)NCC(=O)O",
+    "GLY": "[NH3+]CC(=O)NCC(=O)NCC(=O)O",
+    "ASP": "[NH3+]CC(=O)N[C@@H](CC(=O)O)C(=O)NCC(=O)O",
+    "HIS": "[NH3+]CC(=O)N[C@@H](Cc1c[nH]c[nH+]1)C(=O)NCC(=O)O",
+    "VAL": "CC(C)[C@H](NC(=O)C[NH3+])C(=O)NCC(=O)O",
+    "SER": "[NH3+]CC(=O)N[C@@H](CO)C(=O)NCC(=O)O",
+    "ARG": "NC(=[NH2+])NCCC[C@H](NC(=O)C[NH3+])C(=O)NCC(=O)O",
+    "GLU": "[NH3+]CC(=O)N[C@@H](CCC(=O)O)C(=O)NCC(=O)O",
+    "GLN": "NC(=O)CC[C@H](NC(=O)C[NH3+])C(=O)NCC(=O)O",
+    "ASN": "NC(=O)C[C@H](NC(=O)C[NH3+])C(=O)NCC(=O)O",
+}
+CG_SMILES_INDICES: Dict[str, Dict[int, str]] = {
+    "PHE": {4: "N", 5: "CA", 13: "C", 14: "O", 6: "CB", 7: "CG", 8: "CD1", 12: "CD2", 9: "CE1", 11: "CE2", 10: "CZ"},
+    "MET": {5: "N", 4: "CA", 10: "C", 11: "O", 3: "CB", 2: "CG", 1: "SD", 0: "CE"},
+    "TYR": {4: "N", 5: "CA", 14: "C", 15: "O", 6: "CB", 7: "CG", 8: "CD1", 13: "CD2", 9: "CE1", 12: "CE2", 10: "CZ", 11: "OH"},
+    "ILE": {5: "N", 4: "CA", 10: "C", 11: "O", 2: "CB", 1: "CG1", 3: "CG2", 0: "CD1"},
+    "TRP": {4: "N", 5: "CA", 16: "C", 17: "O", 6: "CB", 7: "CG", 8: "CD1", 15: "CD2", 9: "NE1", 10: "CE2", 14: "CE3", 11: "CZ2", 13: "CZ3", 12: "CH2"},
+    "THR": {4: "N", 3: "CA", 9: "C", 10: "O", 1: "CB", 2: "OG1", 0: "CG2"},
+    "CYS": {4: "N", 5: "CA", 8: "C", 9: "O", 6: "CB", 7: "SG"},
+    "ALA": {2: "N", 1: "CA", 7: "C", 8: "O", 0: "CB"},
+    "LYS": {6: "N", 5: "CA", 11: "C", 12: "O", 4: "CB", 3: "CG", 2: "CD", 1: "CE", 0: "NZ"},
+    "PRO": {4: "N", 8: "CA", 9: "C", 10: "O", 7: "CB", 6: "CG", 5: "CD"},
+    "LEU": {5: "N", 4: "CA", 10: "C", 11: "O", 3: "CB", 1: "CG", 0: "CD1", 2: "CD2"},
+    "GLY": {4: "N", 5: "CA", 6: "C", 7: "O"},
+    "ASP": {4: "N", 5: "CA", 10: "C", 11: "O", 6: "CB", 7: "CG", 8: "OD1", 9: "OD2"},
+    "HIS": {4: "N", 5: "CA", 12: "C", 13: "O", 6: "CB", 7: "CG", 11: "ND1", 8: "CD2", 10: "CE1", 9: "NE2"},
+    "VAL": {4: "N", 3: "CA", 9: "C", 10: "O", 1: "CB", 0: "CG1", 2: "CG2"},
+    "SER": {4: "N", 5: "CA", 8: "C", 9: "O", 6: "CB", 7: "OG"},
+    "ARG": {8: "N", 7: "CA", 13: "C", 14: "O", 6: "CB", 5: "CG", 4: "CD", 3: "NE", 1: "CZ", 0: "NH1", 2: "NH2"},
+    "GLU": {4: "N", 5: "CA", 11: "C", 12: "O", 6: "CB", 7: "CG", 8: "CD", 9: "OE1", 10: "OE2"},
+    "GLN": {6: "N", 5: "CA", 11: "C", 12: "O", 4: "CB", 3: "CG", 1: "CD", 2: "OE1", 0: "NE2"},
+    "ASN": {5: "N", 4: "CA", 10: "C", 11: "O", 3: "CB", 1: "CG", 2: "OD1", 0: "ND2"},
+}
+
+_CG_CACHE: Dict[str, Optional[tuple]] = {}
+
+
+def compute_cg_features(aa: str):
+    """Chemical-group graph for one amino acid from its Gly-X-Gly
+    tripeptide SMILES (reference datasets/pdb.py:120-145): run the FULL
+    ligand featurizer on the parsed tripeptide so the pseudo-ligand gets
+    real chemistry features (aromaticity, hybridization, ring flags, ...),
+    then subset to the group's atoms with relabeled bonds.
+
+    -> (names, atomic_nums, charges, feats [n, 16], bonds) or None.
+    """
+    if aa in _CG_CACHE:
+        return _CG_CACHE[aa]
+    out = None
+    mapping = CG_SMILES_INDICES.get(aa)
+    if mapping:
+        try:
+            from .featurize import featurize_ligand
+            from .mol_io import parse_smiles
+
+            mol = parse_smiles(AMINO_ACID_SMILES[aa], name=aa)
+            feats_all, heavy = featurize_ligand(mol)[:2]
+            idxs = np.asarray(list(mapping.keys()))
+            names = list(mapping.values())
+            relabel = {int(si): k for k, si in enumerate(idxs)}
+            bonds = [(relabel[i], relabel[j], o) for i, j, o in heavy.bonds
+                     if i in relabel and j in relabel]
+            out = (names, heavy.atomic_nums[idxs].copy(), heavy.charges[idxs].copy(),
+                   feats_all[idxs].copy(), bonds)
+        except Exception as e:  # parser edge case -> template fallback
+            print(f"pdb_sidechain: cg features failed for {aa}: {type(e).__name__}: {e}")
+    _CG_CACHE[aa] = out
+    return out
+
+
+def chemical_group_molecule(residue):
+    """Residue -> (Molecule over the chemical-group atoms with real bond
+    orders, full 16-slot feature rows), or (None, None) when the residue is
+    missing atoms or has no chemical group."""
+    cg = compute_cg_features(residue.name)
+    if cg is None:
+        return None, None
+    names, nums, charges, feats, bonds = cg
+    if not all(n in residue.atoms for n in names):
+        return None, None
+    pos = np.stack([residue.atoms[n] for n in names])
+    mol = Molecule(nums.copy(), pos, list(bonds), charges.copy(),
+                   name=f"{residue.chain}{residue.seq}{residue.name}")
+    return mol, feats
+
 
 def sidechain_molecule(residue) -> Optional[Molecule]:
     """Side chain (CA + beyond) of a residue as a Molecule, or None."""
@@ -119,6 +219,7 @@ class PDBSidechainDataset:
         split: Optional[str] = None,
         add_random_ligand: bool = False,
         smiles_list: Optional[Sequence[str]] = None,
+        use_cg_features: bool = True,
     ):
         """split: with a reference-style root layout (list.csv mapping
         CHAINID->CLUSTER plus valid_clusters.txt / test_clusters.txt,
@@ -131,6 +232,7 @@ class PDBSidechainDataset:
         self.mols: Dict[str, Molecule] = {}
         rng = np.random.RandomState(seed)
         self.add_random_ligand = add_random_ligand
+        self.use_cg_features = use_cg_features
         self.smiles_list = list(smiles_list) if smiles_list else []
         if add_random_ligand and not self.smiles_list:
             raise ValueError("add_random_ligand requires a smiles_list")
@@ -213,8 +315,18 @@ class PDBSidechainDataset:
                     print(f"pdb_sidechain: failed SMILES {smiles!r}: {e}")
             if mol is None:
                 return None
+            from .featurize import featurize_ligand
+
+            feats = featurize_ligand(mol, remove_hs=False)[0]
         else:
-            mol = sidechain_molecule(residue)
+            # chemical-group graph from the tripeptide SMILES (reference
+            # pdb.py:120-145); topology-template fallback for residues with
+            # missing atoms
+            mol, feats = (chemical_group_molecule(residue) if self.use_cg_features
+                          else (None, None))
+            if mol is None:
+                mol = sidechain_molecule(residue)
+                feats = None
         if mol is None:
             return None
         # delete a residue window around the pseudo-ligand (reference :274-331)
@@ -226,9 +338,10 @@ class PDBSidechainDataset:
         center = rec_pos.mean(axis=0)
 
         n = mol.num_atoms
-        feats = np.zeros((n, 16), dtype=np.int64)
-        for i in range(n):
-            feats[i, 0] = vocab.safe_index(vocab.ATOMIC_NUMS, int(mol.atomic_nums[i]))
+        if feats is None:
+            feats = np.zeros((n, 16), dtype=np.int64)
+            for i in range(n):
+                feats[i, 0] = vocab.safe_index(vocab.ATOMIC_NUMS, int(mol.atomic_nums[i]))
         src, dst, attr = [], [], []
         onehot = {1: 0, 2: 1, 3: 2, 4: 3}
         for i, j, o in mol.bonds:

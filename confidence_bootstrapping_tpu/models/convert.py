@@ -265,6 +265,143 @@ def convert_all_atom_model(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def torch_old_atom_encoder(sd: Dict[str, Any], prefix: str, n_features: int) -> Dict[str, Any]:
+    """Reference OldAtomEncoder (old_score_model.py:16-52) -> our
+    OldAtomEncoder: the scalar-add ``linear`` maps to Dense_0, the optional
+    ``lm_embedding_layer`` merge to Dense_1. The non-old AtomEncoder's
+    single ``additional_features_embedder`` is handled by
+    ``torch_atom_encoder`` (same flax layout: one Dense_0)."""
+    out = {}
+    for i in range(n_features):
+        out[f"Embed_{i}"] = {"embedding": np.asarray(sd[f"{prefix}.atom_embedding_list.{i}.weight"])}
+    if f"{prefix}.linear.weight" in sd:
+        out["Dense_0"] = torch_linear(sd, f"{prefix}.linear")
+    if f"{prefix}.lm_embedding_layer.weight" in sd:
+        out["Dense_1"] = torch_linear(sd, f"{prefix}.lm_embedding_layer")
+    return out
+
+
+def _legacy_encoder(sd, prefix, n_features, use_old):
+    return (torch_old_atom_encoder if use_old else torch_atom_encoder)(sd, prefix, n_features)
+
+
+def _legacy_heads(sd, cfg, params, stats, add_tpconv):
+    """Shared legacy head mapping (score heads or confidence/affinity heads;
+    reference old_all_atom_score_model.py:117-198)."""
+    c = cfg
+    if c.confidence_mode:
+        p, s = torch_confidence_head(sd, "confidence_predictor", not c.confidence_no_batchnorm)
+        params["confidence_predictor"] = p
+        if s:
+            stats["confidence_predictor"] = s
+        if getattr(c, "parallel", 1) > 1:
+            p, s = torch_confidence_head(sd, "affinity_predictor", not c.confidence_no_batchnorm)
+            params["affinity_predictor"] = p
+            if s:
+                stats["affinity_predictor"] = s
+        return
+    params["center_edge_embedding"] = torch_fcblock(sd, "center_edge_embedding")
+    add_tpconv("final_conv", "final_conv", "2x1o + 2x1e" if not c.odd_parity else "1x1o + 1x1e")
+    params["tr_final_layer"] = torch_seq_mlp(sd, "tr_final_layer", (0, 3))
+    params["rot_final_layer"] = torch_seq_mlp(sd, "rot_final_layer", (0, 3))
+    if not c.no_torsion:
+        params["final_edge_embedding"] = torch_fcblock(sd, "final_edge_embedding")
+        add_tpconv("tor_bond_conv", "tor_bond_conv",
+                   f"{c.ns}x0o + {c.ns}x0e" if not c.odd_parity else f"{c.ns}x0o")
+        params["tor_final_layer"] = torch_seq_mlp(sd, "tor_final_layer", (0, 3))
+
+
+def convert_legacy_score_model(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Reference ``OldCGScoreModel`` (models/old_score_model.py, the
+    originally-published DiffDock checkpoints) -> flax variables for
+    OldTensorProductScoreModel. Per-group conv lists map name-for-name
+    (lig/rec/lig_to_rec/rec_to_lig_conv_layers.{i})."""
+    from .score_model import get_irrep_seq
+
+    c = cfg
+    seq = get_irrep_seq(c.ns, c.nv, c.use_second_order_repr, reduce_pseudoscalars=False)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    from ..data.vocab import LIG_FEATURE_DIMS, REC_RESIDUE_FEATURE_DIMS
+
+    old_enc = c.use_old_atom_encoder
+    params["lig_node_embedding"] = _legacy_encoder(sd, "lig_node_embedding", len(LIG_FEATURE_DIMS), old_enc)
+    params["rec_node_embedding"] = _legacy_encoder(sd, "rec_node_embedding", len(REC_RESIDUE_FEATURE_DIMS), old_enc)
+    for name in ("lig_edge_embedding", "rec_edge_embedding", "cross_edge_embedding"):
+        params[name] = torch_fcblock(sd, name)
+
+    def add_tpconv(our_name, ref_prefix, irreps_out):
+        p, s = torch_tpconv(sd, ref_prefix, irreps_out, 1, depth=2, batch_norm=c.batch_norm)
+        params[our_name] = p
+        if s:
+            stats[our_name] = s
+
+    n = c.num_conv_layers
+    for i in range(n):
+        out_ir = seq[min(i + 1, 3)]
+        add_tpconv(f"lig_conv_layers_{i}", f"lig_conv_layers.{i}", out_ir)
+        add_tpconv(f"rec_to_lig_conv_layers_{i}", f"rec_to_lig_conv_layers.{i}", out_ir)
+        if i < n - 1:
+            # the last depth's rec-side convs are allocated by the reference
+            # but never used in forward (old_score_model.py last-layer
+            # optimisation) — our model has no params for them
+            add_tpconv(f"rec_conv_layers_{i}", f"rec_conv_layers.{i}", out_ir)
+            add_tpconv(f"lig_to_rec_conv_layers_{i}", f"lig_to_rec_conv_layers.{i}", out_ir)
+
+    _legacy_heads(sd, c, params, stats, add_tpconv)
+    return {"params": params, "batch_stats": stats}
+
+
+# reference old_all_atom conv_layers flat-list order (9 per depth, :112-115
+# allocation / :233-269 usage) -> our per-group list names
+_LEGACY_AA_GROUPS = (
+    "lig_conv_layers", "lr_conv_layers", "la_conv_layers",
+    "atom_conv_layers", "al_conv_layers", "ar_conv_layers",
+    "rec_conv_layers", "rl_conv_layers", "ra_conv_layers",
+)
+
+
+def convert_legacy_all_atom_model(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Reference ``OldAAScoreModel`` (models/old_all_atom_score_model.py,
+    the published confidence/affinity checkpoints) -> flax variables for
+    OldAllAtomScoreModel. The reference keeps ONE flat ``conv_layers``
+    ModuleList with 9 convs per depth; the last depth's trailing 6 are
+    allocated but never used in forward (:246) — we skip them."""
+    from .score_model import get_irrep_seq
+
+    c = cfg
+    seq = get_irrep_seq(c.ns, c.nv, c.use_second_order_repr, reduce_pseudoscalars=False)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    from ..data.vocab import LIG_FEATURE_DIMS, REC_ATOM_FEATURE_DIMS, REC_RESIDUE_FEATURE_DIMS
+
+    old_enc = c.use_old_atom_encoder
+    params["lig_node_embedding"] = _legacy_encoder(sd, "lig_node_embedding", len(LIG_FEATURE_DIMS), old_enc)
+    params["rec_node_embedding"] = _legacy_encoder(sd, "rec_node_embedding", len(REC_RESIDUE_FEATURE_DIMS), old_enc)
+    params["atom_node_embedding"] = _legacy_encoder(sd, "atom_node_embedding", len(REC_ATOM_FEATURE_DIMS), old_enc)
+    for name in ("lig_edge_embedding", "rec_edge_embedding", "atom_edge_embedding",
+                 "lr_edge_embedding", "ar_edge_embedding", "la_edge_embedding"):
+        params[name] = torch_fcblock(sd, name)
+
+    def add_tpconv(our_name, ref_prefix, irreps_out):
+        p, s = torch_tpconv(sd, ref_prefix, irreps_out, 1, depth=2, batch_norm=c.batch_norm)
+        params[our_name] = p
+        if s:
+            stats[our_name] = s
+
+    n = c.num_conv_layers
+    for i in range(n):
+        out_ir = seq[min(i + 1, 3)]
+        n_groups = 3 if i == n - 1 else 9
+        for g in range(n_groups):
+            add_tpconv(f"{_LEGACY_AA_GROUPS[g]}_{i}", f"conv_layers.{9 * i + g}", out_ir)
+
+    _legacy_heads(sd, c, params, stats, add_tpconv)
+    return {"params": params, "batch_stats": stats}
+
+
 def normalize_state_dict(obj: Any) -> Dict[str, np.ndarray]:
     """Reference checkpoint container -> flat {key: np.ndarray}.
 
@@ -295,6 +432,10 @@ def convert_state_dict(torch_state_dict: Dict[str, Any], cfg) -> Dict[str, Any]:
     key when the checkpoint does not match the config's architecture.
     """
     sd = normalize_state_dict(torch_state_dict)
+    if getattr(cfg, "old_score_model", False):
+        if getattr(cfg, "all_atoms", False):
+            return convert_legacy_all_atom_model(sd, cfg)
+        return convert_legacy_score_model(sd, cfg)
     if getattr(cfg, "all_atoms", False):
         return convert_all_atom_model(sd, cfg)
     return convert_score_model(sd, cfg)

@@ -19,11 +19,14 @@ from .score_model import TensorProductScoreModel
 
 def get_model(cfg: ScoreModelConfig):
     if cfg.old_score_model:
-        # legacy pre-protein-embedding architecture (reference
-        # utils/utils.py:182-186 dispatches to models/old_score_model.py
-        # when inference.py --old_score_model is set)
-        from .legacy import OldTensorProductScoreModel
+        # legacy pre-protein-embedding architectures (reference
+        # utils/utils.py:182-186 dispatches to models/old_score_model.py or
+        # old_all_atom_score_model.py when inference.py --old_score_model /
+        # old=True is set; the all-atom one is also the affinity model)
+        from .legacy import OldAllAtomScoreModel, OldTensorProductScoreModel
 
+        if cfg.all_atoms:
+            return OldAllAtomScoreModel(cfg)
         return OldTensorProductScoreModel(cfg)
     if cfg.all_atoms:
         return AllAtomScoreModel(cfg)
@@ -68,6 +71,9 @@ _DIRECT = {
     "affinity_prediction": "affinity_prediction",
     "separate_noise_schedule": "separate_noise_schedule",
     "use_old_atom_encoder": "use_old_atom_encoder",
+    "no_aminoacid_identities": "no_aminoacid_identities",
+    "parallel": "parallel",
+    "parallel_aggregators": "parallel_aggregators",
 }
 
 _INVERTED = {

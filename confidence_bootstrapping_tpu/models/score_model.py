@@ -72,6 +72,7 @@ class ScoreOutput(NamedTuple):
     tor_pred: Any  # [B, R] (masked by tor_mask)
     confidence: Any = None  # [B] or [B, K] in confidence mode
     atom_confidence: Any = None
+    affinity: Any = None  # [B // parallel] when parallel > 1 (old models)
     sidechain_pred: Any = None  # [B, N, 10] chi + backbone vec predictions
 
 

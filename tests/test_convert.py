@@ -212,6 +212,165 @@ def test_convert_all_atom_confidence_round_trip():
     assert np.all(np.isfinite(np.asarray(out.confidence)))
 
 
+def _fake_legacy_sd(cfg, variables, group_map):
+    """Inverse of convert_legacy_*: flax variables of an Old* model ->
+    reference-style torch state dict. group_map: {flax conv name -> ref
+    conv prefix} for the trunk conv layers."""
+    sd = {}
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def fcblock(ref, tree):
+        for j in range(len([k for k in tree if k.startswith("Dense")])):
+            sd[f"{ref}.{3 * j}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
+            if "bias" in tree[f"Dense_{j}"]:
+                sd[f"{ref}.{3 * j}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+
+    def atom_encoder(ref, tree):
+        for k, v in tree.items():
+            if k.startswith("Embed_"):
+                sd[f"{ref}.atom_embedding_list.{k.split('_')[1]}.weight"] = np.asarray(v["embedding"])
+        dense_ref = ((f"{ref}.linear", f"{ref}.lm_embedding_layer") if cfg.use_old_atom_encoder
+                     else (f"{ref}.additional_features_embedder",))
+        for j, dref in enumerate(dense_ref):
+            if f"Dense_{j}" in tree:
+                sd[f"{dref}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
+                sd[f"{dref}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+
+    def bn(ref, p, s, irreps):
+        sd[f"{ref}.weight"] = np.asarray(p["weight"])
+        sd[f"{ref}.bias"] = np.asarray(p["bias"])
+        sd[f"{ref}.running_mean"] = np.asarray(s["mean"])
+        var, norm = list(np.asarray(s["var"])), list(np.asarray(s["norm"]))
+        chunks = []
+        for mul, ir in Irreps(irreps):
+            src = var if (ir.l == 0 and ir.p == 1) else norm
+            chunks.append(np.asarray([src.pop(0) for _ in range(mul)]))
+        sd[f"{ref}.running_var"] = np.concatenate(chunks)
+
+    def tpconv(ref, name, irreps_out):
+        p = params[name]
+        fcblock(f"{ref}.fc", p["edge_mlps_0"])
+        if "bn" in p:
+            bn(f"{ref}.batch_norm", p["bn"], stats[name]["bn"], irreps_out)
+
+    def seq_mlp(ref, tree, idxs):
+        for j, idx in enumerate(idxs):
+            sd[f"{ref}.{idx}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
+            if "bias" in tree[f"Dense_{j}"]:
+                sd[f"{ref}.{idx}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+
+    def conf_head(ref, tree, s):
+        for j, idx in enumerate((0, 4, 8)):
+            sd[f"{ref}.{idx}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
+            sd[f"{ref}.{idx}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+        for j, idx in enumerate((1, 5)):
+            k = f"MaskedBatchNorm1d_{j}"
+            if k in tree:
+                sd[f"{ref}.{idx}.weight"] = np.asarray(tree[k]["scale"])
+                sd[f"{ref}.{idx}.bias"] = np.asarray(tree[k]["bias"])
+                sd[f"{ref}.{idx}.running_mean"] = np.asarray(s[k]["mean"])
+                sd[f"{ref}.{idx}.running_var"] = np.asarray(s[k]["var"])
+
+    seq = get_irrep_seq(cfg.ns, cfg.nv, cfg.use_second_order_repr, reduce_pseudoscalars=False)
+    for name in params:
+        if name.endswith("_node_embedding"):
+            atom_encoder(name, params[name])
+        elif name.endswith("_edge_embedding"):
+            fcblock(name, params[name])
+    for flax_name, ref_prefix in group_map.items():
+        depth = int(flax_name.rsplit("_", 1)[1])
+        tpconv(ref_prefix, flax_name, seq[min(depth + 1, 3)])
+    if cfg.confidence_mode:
+        conf_head("confidence_predictor", params["confidence_predictor"],
+                  stats.get("confidence_predictor", {}))
+        if "affinity_predictor" in params:
+            conf_head("affinity_predictor", params["affinity_predictor"],
+                      stats.get("affinity_predictor", {}))
+    else:
+        tpconv("final_conv", "final_conv", "2x1o + 2x1e")
+        seq_mlp("tr_final_layer", params["tr_final_layer"], (0, 3))
+        seq_mlp("rot_final_layer", params["rot_final_layer"], (0, 3))
+        tpconv("tor_bond_conv", "tor_bond_conv", f"{cfg.ns}x0o + {cfg.ns}x0e")
+        seq_mlp("tor_final_layer", params["tor_final_layer"], (0, 3))
+    return sd
+
+
+def _assert_same_tree(ref_vars, converted):
+    for coll in ("params", "batch_stats"):
+        ref_flat = jax.tree_util.tree_flatten_with_path(ref_vars.get(coll, {}))[0]
+        conv_flat = jax.tree_util.tree_flatten_with_path(converted.get(coll, {}))[0]
+        ref_paths = [jax.tree_util.keystr(p) for p, _ in ref_flat]
+        conv_paths = [jax.tree_util.keystr(p) for p, _ in conv_flat]
+        assert ref_paths == conv_paths, (
+            f"{coll} tree mismatch:\nonly-init: {set(ref_paths) - set(conv_paths)}"
+            f"\nonly-conv: {set(conv_paths) - set(ref_paths)}")
+        for (p1, a), (_, b) in zip(ref_flat, conv_flat):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(p1))
+
+
+def test_convert_legacy_score_model_round_trip():
+    """Old CG architecture (the originally-published DiffDock checkpoints,
+    reference models/old_score_model.py) converts end-to-end."""
+    import dataclasses
+
+    from confidence_bootstrapping_tpu.config import ScoreModelConfig
+    from confidence_bootstrapping_tpu.models.legacy import OldTensorProductScoreModel
+
+    cfg = ScoreModelConfig(ns=8, nv=2, sh_lmax=2, num_conv_layers=2, lm_embedding_dim=0,
+                           dropout=0.0, old_score_model=True, use_old_atom_encoder=True)
+    batch = make_random_batch(B=1, lm_dim=0)
+    model = OldTensorProductScoreModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    group_map = {}
+    for i in range(cfg.num_conv_layers):
+        groups = ("lig_conv_layers", "rec_to_lig_conv_layers")
+        if i < cfg.num_conv_layers - 1:  # last layer: lig-side updates only
+            groups += ("rec_conv_layers", "lig_to_rec_conv_layers")
+        for g in groups:
+            group_map[f"{g}_{i}"] = f"{g}.{i}"
+    sd = _fake_legacy_sd(cfg, variables, group_map)
+    converted = C.convert_state_dict(sd, cfg)
+    _assert_same_tree(variables, converted)
+
+    want = model.apply(variables, batch)
+    got = model.apply({"params": converted["params"], "batch_stats": converted["batch_stats"]}, batch)
+    np.testing.assert_allclose(np.asarray(got.tr_pred), np.asarray(want.tr_pred), rtol=1e-6)
+
+
+def test_convert_legacy_all_atom_affinity_round_trip():
+    """Old all-atom confidence/affinity architecture (reference
+    models/old_all_atom_score_model.py, flat 9-per-depth conv_layers list)
+    converts end-to-end including the parallel>1 affinity head."""
+    from confidence_bootstrapping_tpu.config import ScoreModelConfig
+    from confidence_bootstrapping_tpu.models.legacy import OldAllAtomScoreModel
+
+    from test_all_atom_model import make_aa_batch
+
+    cfg = ScoreModelConfig(ns=8, nv=2, sh_lmax=2, num_conv_layers=2, lm_embedding_dim=0,
+                           dropout=0.0, old_score_model=True, all_atoms=True,
+                           confidence_mode=True, affinity_prediction=True, parallel=2)
+    batch = make_aa_batch(B=2)
+    model = OldAllAtomScoreModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    group_map = {}
+    groups = C._LEGACY_AA_GROUPS
+    for i in range(cfg.num_conv_layers):
+        n_g = 3 if i == cfg.num_conv_layers - 1 else 9
+        for g in range(n_g):
+            group_map[f"{groups[g]}_{i}"] = f"conv_layers.{9 * i + g}"
+    sd = _fake_legacy_sd(cfg, variables, group_map)
+    converted = C.convert_state_dict(sd, cfg)
+    _assert_same_tree(variables, converted)
+
+    want = model.apply(variables, batch)
+    got = model.apply({"params": converted["params"], "batch_stats": converted["batch_stats"]}, batch)
+    np.testing.assert_allclose(np.asarray(got.confidence), np.asarray(want.confidence), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.affinity), np.asarray(want.affinity), rtol=1e-6)
+
+
 def test_convert_state_dict_dispatch_and_cli(tmp_path):
     """VERDICT r1 missing #4: convert_state_dict is end-to-end — a reference
     .pt bundle (+ model_parameters.yml) converts into a loadable model dir

@@ -242,7 +242,10 @@ def test_pdb_sidechain_dataset_modes(tmp_path):
                              max_complexes_per_structure=2)
     assert len(ds) > 0
     hc = ds.complexes[0]
-    assert len(hc.lig_f) >= 3  # side-chain pseudo-ligand
+    # chemical-group pseudo-ligand: backbone N/CA/C/O + LEU side chain with
+    # full SMILES-derived featurization (reference pdb.py:120-145)
+    assert len(hc.lig_f) == 8
+    assert hc.lig_f[:, 2].any()  # degree column populated (not just Z)
     assert len(hc.rec_f) >= 8  # window deleted but receptor remains
 
     # cluster split from list.csv (reference pdb.py:372-405)
@@ -269,3 +272,27 @@ def test_pdb_sidechain_dataset_modes(tmp_path):
     # ligand placed near the receptor (anchored at the deleted side chain)
     d = np.linalg.norm(hc.rec_pos[:, None] - hc.lig_pos[None], axis=-1).min()
     assert d < 10.0
+
+
+def test_chemical_group_features():
+    """Chemical-group graphs from amino-acid tripeptide SMILES (reference
+    datasets/pdb.py:120-145, constants.py:102-147): real aromaticity, bond
+    orders and a charged LYS amine; every amino acid resolves."""
+    from confidence_bootstrapping_tpu.data.pdb_sidechain import (
+        CG_SMILES_INDICES, compute_cg_features)
+
+    names, nums, charges, feats, bonds = compute_cg_features("TYR")
+    assert names[:4] == ["N", "CA", "C", "O"]
+    ring = {names.index(a) for a in ("CG", "CD1", "CD2", "CE1", "CE2", "CZ")}
+    arom_col = feats[:, 8]
+    assert all(arom_col[i] == 1 for i in ring)
+    assert arom_col[names.index("CB")] == 0
+    assert sum(1 for i, j, o in bonds if o == 4) == 6  # aromatic ring intact
+
+    _, nums_k, charges_k, feats_k, _ = compute_cg_features("LYS")
+    assert charges_k[-1] == 1  # NZ is [NH3+] in the tripeptide
+
+    for aa in CG_SMILES_INDICES:
+        cg = compute_cg_features(aa)
+        assert cg is not None, aa
+        assert cg[3].shape[1] == 16
