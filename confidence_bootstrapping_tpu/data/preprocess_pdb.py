@@ -103,11 +103,83 @@ def infer_bonds(pos: np.ndarray, nums: np.ndarray, tol: float = 0.45) -> List[Tu
     return bonds
 
 
-def split_biounit(pdb_path: str, out_dir: str, name: Optional[str] = None) -> List[str]:
+def fetch_component_smiles(chem_id: str) -> Optional[str]:
+    """SMILES of a PDB chemical component from the RCSB REST API
+    (reference data/preprocess_PDB.py:358-396 ``describe_chemical``;
+    network-gated — returns None without egress)."""
+    try:
+        import json
+        import urllib.request
+
+        url = f"https://data.rcsb.org/rest/v1/core/chemcomp/{chem_id.upper()}"
+        with urllib.request.urlopen(url, timeout=30) as r:
+            data = json.loads(r.read())
+        descr = data.get("rcsb_chem_comp_descriptor", {})
+        return descr.get("smiles") or descr.get("smilesstereo")
+    except Exception as e:
+        print(f"chemcomp lookup failed for {chem_id}: {type(e).__name__}: {e}")
+        return None
+
+
+def assign_bond_orders_from_template(template: Molecule, mol: Molecule) -> Optional[Molecule]:
+    """Transfer bond orders + formal charges from a SMILES-derived template
+    onto a coordinate molecule with distance-inferred single bonds — the
+    reference's rdkit ``AssignBondOrdersFromTemplate`` step
+    (data/preprocess_PDB.py:410-462 ``process_ligand``). Matching is VF2
+    graph isomorphism on (element, connectivity); returns None when the
+    template does not match (caller keeps the inferred single bonds)."""
+    import networkx as nx
+
+    t = template.remove_hs()
+    if t.num_atoms != mol.num_atoms:
+        return None
+    Gt, Gm = nx.Graph(), nx.Graph()
+    for G, m in ((Gt, t), (Gm, mol)):
+        for i, z in enumerate(m.atomic_nums):
+            G.add_node(int(i), z=int(z))
+        for i, j, _ in m.bonds:
+            G.add_edge(int(i), int(j))
+    gm = nx.algorithms.isomorphism.GraphMatcher(
+        Gt, Gm, node_match=lambda a, b: a["z"] == b["z"])
+    if not gm.is_isomorphic():
+        return None
+    mapping = gm.mapping  # template idx -> mol idx
+    bonds = [(mapping[i], mapping[j], o) for i, j, o in t.bonds]
+    charges = np.zeros(mol.num_atoms, dtype=int)
+    for ti, mi in mapping.items():
+        charges[mi] = int(t.charges[ti])
+    return Molecule(mol.atomic_nums, mol.pos, bonds, charges, mol.name)
+
+
+def apply_smiles_templates(ligands, smiles_lookup) -> List[Tuple[str, Molecule]]:
+    """Upgrade extracted ligands with component-dictionary bond orders.
+
+    smiles_lookup: {resname: smiles} dict or a callable (e.g.
+    fetch_component_smiles). Ligands whose template is missing or does not
+    match keep their inferred single bonds."""
+    from .mol_io import parse_smiles
+
+    out = []
+    for lig_name, mol in ligands:
+        smi = smiles_lookup(mol.name) if callable(smiles_lookup) else smiles_lookup.get(mol.name)
+        fixed = None
+        if smi:
+            try:
+                fixed = assign_bond_orders_from_template(parse_smiles(smi, name=mol.name), mol)
+            except Exception as e:
+                print(f"template assignment failed for {mol.name}: {type(e).__name__}: {e}")
+        out.append((lig_name, fixed if fixed is not None else mol))
+    return out
+
+
+def split_biounit(pdb_path: str, out_dir: str, name: Optional[str] = None,
+                  smiles_lookup=None) -> List[str]:
     """One biounit PDB -> DockGen-style per-complex trees
     ``{name}_{lig}/..._protein_processed.pdb + ..._ligand.sdf``."""
     name = name or os.path.splitext(os.path.basename(pdb_path))[0]
     ligands = extract_hetero_ligands(pdb_path)
+    if smiles_lookup is not None:
+        ligands = apply_smiles_templates(ligands, smiles_lookup)
     if not ligands:
         return []
     protein_text = "".join(l for l in open(pdb_path) if l.startswith(("ATOM  ", "TER", "END")))

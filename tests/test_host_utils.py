@@ -88,6 +88,42 @@ def test_preprocess_split_biounit(tmp_path):
     assert m.num_atoms == 4 and len(m.bonds) == 3  # chain inferred by distance
 
 
+def test_bond_orders_from_smiles_template(tmp_path):
+    """Component-dictionary bond-order assignment (reference
+    preprocess_PDB.py:410-462 process_ligand + AssignBondOrdersFromTemplate):
+    a benzene ring extracted as single-bond HETATMs gets aromatic orders
+    from the 'c1ccccc1' template; a charged acetate keeps its charges; a
+    non-matching template leaves the inferred bonds untouched."""
+    from confidence_bootstrapping_tpu.data.mol_io import Molecule, parse_smiles
+    from confidence_bootstrapping_tpu.data.preprocess_pdb import (
+        apply_smiles_templates, assign_bond_orders_from_template)
+
+    # planar hexagon, 1.39 A sides -> inferred single-bond ring
+    ang = np.linspace(0, 2 * np.pi, 7)[:6]
+    pos = np.stack([1.39 / (2 * np.sin(np.pi / 6)) * np.cos(ang),
+                    1.39 / (2 * np.sin(np.pi / 6)) * np.sin(ang),
+                    np.zeros(6)], axis=1)
+    ring = preprocess_pdb.infer_bonds(pos, np.full(6, 6))
+    benz = Molecule(np.full(6, 6), pos, ring, np.zeros(6, dtype=int), "BNZ")
+    fixed = assign_bond_orders_from_template(parse_smiles("c1ccccc1"), benz)
+    assert fixed is not None
+    assert all(o == 4 for _, _, o in fixed.bonds) and len(fixed.bonds) == 6
+
+    # charge transfer: acetate CC([O-])=O
+    ac_pos = np.asarray([[0, 0, 0], [1.5, 0, 0], [2.2, 1.1, 0], [2.2, -1.1, 0]], dtype=float)
+    ac = Molecule(np.asarray([6, 6, 8, 8]), ac_pos,
+                  preprocess_pdb.infer_bonds(ac_pos, np.asarray([6, 6, 8, 8])),
+                  np.zeros(4, dtype=int), "ACT2")
+    fixed = assign_bond_orders_from_template(parse_smiles("CC([O-])=O", add_hs=False), ac)
+    assert fixed is not None
+    assert int(fixed.charges.sum()) == -1
+    assert sorted(o for _, _, o in fixed.bonds) == [1, 1, 2]
+
+    # lookup path: wrong template (ethanol) for the benzene -> unchanged
+    out = apply_smiles_templates([("x", benz)], {"BNZ": "CCO"})
+    assert all(o == 1 for _, _, o in out[0][1].bonds)
+
+
 def test_blacklist_filters_waters(tmp_path):
     lines = ["HETATM    1  O   HOH A 201      10.000  10.000  10.000  1.00  0.00           O "]
     lines.append("END")
