@@ -50,6 +50,16 @@ def get_parser():
                         "workdir/pretrained_confidence/model_parameters.yml)")
     p.add_argument("--atom_rmsd_classification_cutoff", type=float, nargs="+", default=[2.0])
     p.add_argument("--confidence_loss_weight", type=float, default=1.0)
+    p.add_argument("--affinity_prediction", action="store_true",
+                   help="train a binding-affinity head jointly (reference "
+                        "confidence_train.py:224-237); needs --affinity_csv labels")
+    p.add_argument("--affinity_loss_weight", type=float, default=1.0)
+    p.add_argument("--parallel", type=int, default=1,
+                   help=">1 selects the legacy grouped-pose affinity head "
+                        "(reference old_all_atom_score_model.py:282-292)")
+    p.add_argument("--affinity_csv", default=None,
+                   help="CSV of 'complex_name,affinity' per line (the reference's "
+                        "affinity label dataset is not shipped upstream)")
     p.add_argument("--trajectory_sampling", action="store_true",
                    help="train on random reverse-diffusion frames with their diffusion "
                         "time stamped (reference confidence/dataset.py:307-310)")
@@ -125,11 +135,25 @@ def main(argv=None):
         if len(atom_cutoff) == 1:
             atom_cutoff = atom_cutoff[0]
 
+    affinities = None
+    if args.affinity_prediction:
+        if not args.affinity_csv:
+            raise SystemExit("--affinity_prediction requires --affinity_csv labels")
+        affinities = {}
+        for line in open(args.affinity_csv):
+            line = line.strip()
+            if line and not line.startswith("#"):
+                name_, val = line.rsplit(",", 1)
+                affinities[name_.strip()] = float(val)
+
     cfg = confidence_model_config(
         ns=args.ns, nv=args.nv, all_atoms=args.all_atoms,
         num_confidence_outputs=len(cutoff) + 1 if isinstance(cutoff, list) else 1,
         atom_confidence=args.atom_confidence_loss_weight > 0,
         atom_num_confidence_outputs=len(atom_cutoff) + 1 if isinstance(atom_cutoff, list) else 1,
+        affinity_prediction=args.affinity_prediction,
+        parallel=args.parallel,
+        old_score_model=args.parallel > 1,  # grouped-pose affinity is a legacy-model feature
     )
     model = get_model(cfg)
     example_c = replicate_complex(targets[0].padded, args.batch_size).set_time(0.0, 0.0, 0.0)
@@ -141,11 +165,13 @@ def main(argv=None):
         balance=not args.no_balance and not isinstance(cutoff, list),
         rmsd_prediction=args.rmsd_prediction,
         atom_label_cutoff=atom_cutoff, trajectory_sampling=args.trajectory_sampling,
+        affinities=affinities, parallel=args.parallel,
     )
     val_ds = cdataset.FilteringDataset(
         val_targets, cache, cutoff, None, balance=False,
         rmsd_prediction=args.rmsd_prediction,
         atom_label_cutoff=atom_cutoff, trajectory_sampling=args.trajectory_sampling,
+        affinities=affinities, parallel=args.parallel,
     )
     print("train set:", ds.statistics())
 
@@ -155,6 +181,9 @@ def main(argv=None):
         key, val_dataset=val_ds, val_cache=cache, rmsd_prediction=args.rmsd_prediction,
         confidence_loss_weight=args.confidence_loss_weight,
         atom_confidence_loss_weight=args.atom_confidence_loss_weight,
+        affinity_prediction=args.affinity_prediction,
+        affinity_loss_weight=args.affinity_loss_weight,
+        parallel=args.parallel,
     )
 
     save_yaml(cfg, os.path.join(args.workdir, checkpoints.CONFIG_NAME))

@@ -139,6 +139,8 @@ class FilteringDataset:
         seed: int = 0,
         atom_label_cutoff=None,
         trajectory_sampling: bool = False,
+        affinities: Optional[Dict[str, float]] = None,
+        parallel: int = 1,
     ):
         self.targets = {t.name: t for t in targets}
         self.rng = np.random.RandomState(seed)
@@ -153,6 +155,15 @@ class FilteringDataset:
         self.atom_label_cutoff = atom_label_cutoff
         self.atom_binned = isinstance(atom_label_cutoff, (list, tuple))
         self.trajectory_sampling = trajectory_sampling
+        # per-complex binding-affinity labels (reference graph.affinity,
+        # confidence_train.py:228; the label source dataset is not shipped
+        # upstream — callers supply {name: affinity})
+        self.affinities = affinities
+        # parallel > 1: each group of `parallel` consecutive batch elements
+        # is `parallel` distinct poses of ONE complex, drawn without
+        # replacement (reference confidence/dataset.py:290-302 packs them
+        # into one graph; our batch axis is the pose axis)
+        self.parallel = int(parallel)
 
         self.entries: List[Tuple[str, int, float]] = []  # (name, pose idx, final rmsd)
         for name, (pos, rmsds) in cache.items():
@@ -192,11 +203,29 @@ class FilteringDataset:
 
         labels is a dict of numpy arrays: always "y" ([b] float, or one-hot
         [b, nbins] in binned mode) and "rmsd" [b]; plus "atom_y" ([b, L_pad]
-        binary or [b, L_pad, nbins] one-hot) when atom_label_cutoff is set.
+        binary or [b, L_pad, nbins] one-hot) when atom_label_cutoff is set;
+        plus "affinity" [b] and its below-cutoff validity mask
+        "affinity_valid" [b] when affinities were supplied (reference
+        confidence_train.py:228-237: only sub-cutoff poses carry an
+        affinity-loss signal in the combined-head mode).
         """
-        items, ys, rmsds, atom_ys, times = [], [], [], [], []
-        for _ in range(batch_size):
-            name, i, r = self.sample_entry()
+        picks: List[Tuple[str, int, float]] = []
+        if self.parallel > 1:
+            if batch_size % self.parallel:
+                raise ValueError(f"batch_size {batch_size} not divisible by parallel {self.parallel}")
+            for _ in range(batch_size // self.parallel):
+                name, _, _ = self.sample_entry()
+                rs = cache[name][1]
+                if self.parallel > len(rs):
+                    raise ValueError("parallel size larger than sample size")  # reference :296
+                idxs = (np.arange(self.parallel) if self.parallel == len(rs)
+                        else self.rng.choice(len(rs), size=self.parallel, replace=False))
+                picks.extend((name, int(i), float(rs[i])) for i in idxs)
+        else:
+            picks = [self.sample_entry() for _ in range(batch_size)]
+
+        items, ys, rmsds, atom_ys, times, affs = [], [], [], [], [], []
+        for name, i, r in picks:
             target = self.targets[name]
             pos, _ = cache[name]
             item = dict(target.padded)
@@ -223,12 +252,17 @@ class FilteringDataset:
                     atom_ys.append(binned_labels(d, list(self.atom_label_cutoff)))
                 else:
                     atom_ys.append((d < float(self.atom_label_cutoff)).astype(np.float32))
+            if self.affinities is not None:
+                affs.append(float(self.affinities.get(name, 0.0)))
         batch = batch_complexes(items)
         tvec = jnp.asarray(times, dtype=jnp.float32)
         batch = batch.replace(t_tr=tvec, t_rot=tvec, t_tor=tvec)
         labels = dict(y=np.asarray(ys, dtype=np.float32), rmsd=np.asarray(rmsds, dtype=np.float32))
         if self.atom_label_cutoff is not None:
             labels["atom_y"] = np.stack(atom_ys)
+        if self.affinities is not None:
+            labels["affinity"] = np.asarray(affs, dtype=np.float32)
+            labels["affinity_valid"] = (labels["rmsd"] < self.cutoff).astype(np.float32)
         return batch, labels
 
     def statistics(self):

@@ -15,7 +15,7 @@ import numpy as np
 import optax
 
 from ..config import ScoreModelConfig, TrainConfig
-from ..train.losses import atom_confidence_loss, confidence_loss
+from ..train.losses import affinity_loss, atom_confidence_loss, confidence_loss
 from ..train.train_loop import AverageMeter, TrainState, init_train_state, make_optimizer
 
 
@@ -25,6 +25,31 @@ def _normalize_labels(labels):
     if isinstance(labels, dict):
         return labels
     return {"y": labels}
+
+
+def _affinity_terms(out, labels_d, parallel: int):
+    """-> (confidence_pred with the affinity column stripped, affinity loss).
+
+    Two model layouts (reference confidence_train.py:224-237):
+      * parallel > 1 (legacy all-atom affinity model): out.affinity is one
+        value per group of `parallel` consecutive batch elements; every group
+        contributes MSE against its (per-group) label;
+      * parallel == 1: the affinity rides as the LAST column of the
+        confidence head; only poses below the RMSD cutoff (labels
+        "affinity_valid") contribute.
+    """
+    if "affinity" not in labels_d:
+        raise ValueError("affinity_prediction requires 'affinity' labels (FilteringDataset(affinities=...))")
+    if parallel > 1:
+        if out.affinity is None:
+            raise ValueError("parallel > 1 requires a model with affinity_prediction=True (legacy all-atom)")
+        return out.confidence, affinity_loss(out.affinity, labels_d["affinity"][::parallel])
+    pred = out.confidence
+    aff_pred = pred[..., -1]
+    pred = pred[..., :-1]
+    if pred.shape[-1] == 1 and labels_d["y"].ndim == 1:
+        pred = pred[..., 0]
+    return pred, affinity_loss(aff_pred, labels_d["affinity"], labels_d.get("affinity_valid"))
 
 
 def _accuracy(pred, y, rmsd_prediction):
@@ -41,10 +66,15 @@ def make_confidence_train_step(
     rmsd_prediction: bool = False,
     confidence_loss_weight: float = 1.0,
     atom_confidence_loss_weight: float = 0.0,
+    affinity_prediction: bool = False,
+    affinity_loss_weight: float = 1.0,
+    parallel: int = 1,
 ):
     """Jitted confidence train step. With atom_confidence_loss_weight > 0
     the model's per-atom head is trained jointly (reference
-    confidence_train.py:249-261, the pretrained recipe uses weight 0.5)."""
+    confidence_train.py:249-261, the pretrained recipe uses weight 0.5).
+    With affinity_prediction the affinity MSE (reference :224-237) joins
+    the objective — see _affinity_terms for the two head layouts."""
     tx = make_optimizer(cfg)
 
     @jax.jit
@@ -60,7 +90,11 @@ def make_confidence_train_step(
                 rngs={"dropout": key},
                 mutable=["batch_stats"],
             )
-            closs = confidence_loss(out.confidence, labels_d["y"], rmsd_prediction)
+            conf_pred, afloss = (
+                _affinity_terms(out, labels_d, parallel) if affinity_prediction
+                else (out.confidence, jnp.float32(0.0))
+            )
+            closs = confidence_loss(conf_pred, labels_d["y"], rmsd_prediction)
             aloss = jnp.float32(0.0)
             if atom_confidence_loss_weight > 0:
                 if out.atom_confidence is None:
@@ -68,10 +102,11 @@ def make_confidence_train_step(
                 if "atom_y" not in labels_d:
                     raise ValueError("atom_confidence_loss_weight > 0 requires atom_y labels (set atom_label_cutoff)")
                 aloss = atom_confidence_loss(out.atom_confidence, labels_d["atom_y"], batch.lig_mask)
-            loss = confidence_loss_weight * closs + atom_confidence_loss_weight * aloss
-            return loss, (closs, aloss, out.confidence, mut["batch_stats"])
+            loss = (confidence_loss_weight * closs + atom_confidence_loss_weight * aloss
+                    + affinity_loss_weight * afloss)
+            return loss, (closs, aloss, afloss, conf_pred, mut["batch_stats"])
 
-        (loss, (closs, aloss, pred, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (closs, aloss, afloss, pred, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         ok = jnp.isfinite(loss)
         grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -82,23 +117,30 @@ def make_confidence_train_step(
         acc = _accuracy(pred, labels_d["y"], rmsd_prediction)
         new_state = TrainState(new_params, jax.tree.map(lambda a, b: jnp.where(ok, b, a), state.batch_stats, new_bs),
                                new_opt, new_ema, state.step + 1, state.lr_scale)
-        return new_state, dict(loss=loss, confidence_loss=closs, atom_confidence_loss=aloss, accuracy=acc)
+        return new_state, dict(loss=loss, confidence_loss=closs, atom_confidence_loss=aloss,
+                               affinity_loss=afloss, accuracy=acc)
 
     return step
 
 
 def make_confidence_eval_step(model, rmsd_prediction: bool = False, atom_confidence_loss_weight: float = 0.0,
-                              confidence_loss_weight: float = 1.0):
+                              confidence_loss_weight: float = 1.0, affinity_prediction: bool = False,
+                              affinity_loss_weight: float = 1.0, parallel: int = 1):
     @jax.jit
     def step(state: TrainState, batch, labels):
         labels_d = _normalize_labels(labels)
         out = model.apply({"params": state.params, "batch_stats": state.batch_stats}, batch)
-        loss = confidence_loss_weight * confidence_loss(out.confidence, labels_d["y"], rmsd_prediction)
+        conf_pred, afloss = (
+            _affinity_terms(out, labels_d, parallel) if affinity_prediction
+            else (out.confidence, jnp.float32(0.0))
+        )
+        loss = confidence_loss_weight * confidence_loss(conf_pred, labels_d["y"], rmsd_prediction)
         if atom_confidence_loss_weight > 0 and "atom_y" in labels_d:
             loss = loss + atom_confidence_loss_weight * atom_confidence_loss(
                 out.atom_confidence, labels_d["atom_y"], batch.lig_mask
             )
-        return loss, out.confidence
+        loss = loss + affinity_loss_weight * afloss
+        return loss, conf_pred, afloss
 
     return step
 
@@ -179,14 +221,19 @@ def train_confidence(
     rmsd_prediction: bool = False,
     confidence_loss_weight: float = 1.0,
     atom_confidence_loss_weight: float = 0.0,
+    affinity_prediction: bool = False,
+    affinity_loss_weight: float = 1.0,
+    parallel: int = 1,
     log: Callable[[str], None] = print,
 ):
     """Full confidence training loop; returns (state, history)."""
     state = init_train_state(variables, cfg)
     train_step = make_confidence_train_step(model, cfg, rmsd_prediction,
-                                            confidence_loss_weight, atom_confidence_loss_weight)
+                                            confidence_loss_weight, atom_confidence_loss_weight,
+                                            affinity_prediction, affinity_loss_weight, parallel)
     eval_step = make_confidence_eval_step(model, rmsd_prediction, atom_confidence_loss_weight,
-                                          confidence_loss_weight)
+                                          confidence_loss_weight, affinity_prediction,
+                                          affinity_loss_weight, parallel)
     history = []
     best_acc = -np.inf
     best_state = state
@@ -200,11 +247,14 @@ def train_confidence(
         entry = dict(epoch=epoch, train=meter.summary())
 
         if val_dataset is not None:
-            all_y, all_scores, losses = [], [], []
+            all_y, all_scores, losses, aflosses, all_affs = [], [], [], [], []
             for _ in range(max(1, batches_per_epoch // 4)):
                 batch, labels = val_dataset.sample_batch(val_cache, cfg.batch_size)
-                loss, scores = eval_step(state, batch, labels)
+                loss, scores, afloss = eval_step(state, batch, labels)
                 losses.append(float(loss))
+                aflosses.append(float(afloss))
+                if affinity_prediction:
+                    all_affs.extend(np.asarray(labels["affinity"]).tolist())
                 y = labels["y"] if isinstance(labels, dict) else labels
                 s = np.asarray(scores)
                 if y.ndim >= 2 and y.shape[-1] > 1:
@@ -216,6 +266,12 @@ def train_confidence(
             labels_, scores_ = np.concatenate(all_y), np.concatenate(all_scores)
             acc = float(np.mean((scores_ > 0) == (labels_ > 0.5)))
             entry["val"] = dict(loss=float(np.mean(losses)), accuracy=acc, roc_auc=roc_auc(labels_, scores_))
+            if affinity_prediction:
+                # reference test_epoch reports affinity_rmse (:287, :356) and
+                # the predict-the-mean baseline affinity_mean_mse (:389-391)
+                entry["val"]["affinity_rmse"] = float(np.sqrt(np.mean(aflosses)))
+                a = np.asarray(all_affs)
+                entry["val"]["affinity_mean_mse"] = float(((a - a.mean()) ** 2).mean()) if len(a) else 0.0
             if acc > best_acc:
                 best_acc, best_state = acc, state
         history.append(entry)

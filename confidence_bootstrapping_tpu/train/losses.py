@@ -119,6 +119,19 @@ def confidence_loss(confidence_pred, labels, rmsd_prediction=False):
     return jnp.mean(_bce_with_logits(confidence_pred, labels))
 
 
+def affinity_loss(affinity_pred, affinity_labels, valid=None):
+    """Binding-affinity MSE (reference confidence_train.py:224-237): in the
+    combined-head mode only poses whose pose label is positive (RMSD below
+    the classification cutoff) contribute — `valid` is that binary mask;
+    zero when no pose qualifies. In the parallel/legacy mode every group
+    contributes (valid=None)."""
+    se = (affinity_pred - affinity_labels) ** 2
+    if valid is None:
+        return jnp.mean(se)
+    v = valid.astype(jnp.float32)
+    return jnp.sum(se * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
 def atom_confidence_loss(atom_pred, atom_labels, lig_mask):
     """Per-atom confidence loss over real ligand atoms (reference
     confidence_train.py:249-258): BCE for atom_pred [b, L] with binary

@@ -158,6 +158,66 @@ def test_atom_labels_and_binned_batch():
     assert labels2["atom_y"].shape == (4, L, 3)
 
 
+def test_affinity_labels_and_masked_loss():
+    """Affinity labels ride the FilteringDataset batch (reference
+    confidence_train.py:228) and the loss only counts sub-cutoff poses
+    (:233-237); with no qualifying pose the loss is exactly zero."""
+    from confidence_bootstrapping_tpu.train.losses import affinity_loss
+
+    targets = [_synthetic_target("AAAA_1", 0)]
+    pos = np.stack([targets[0].hc.orig_lig_pos + 0.1, targets[0].hc.orig_lig_pos + 8.0])
+    rmsds = np.sqrt(((pos - targets[0].hc.orig_lig_pos[None]) ** 2).sum(-1).mean(-1))
+    cache = {"AAAA_1": (pos.astype(np.float32), rmsds)}
+    ds = cdataset.FilteringDataset(
+        targets, cache, rmsd_classification_upper=None, balance=False,
+        affinities={"AAAA_1": 6.5}, seed=0,
+    )
+    _, labels = ds.sample_batch(cache, 8)
+    np.testing.assert_allclose(labels["affinity"], 6.5)
+    np.testing.assert_array_equal(labels["affinity_valid"], (labels["rmsd"] < 2.0).astype(np.float32))
+
+    # masked MSE: only valid entries count
+    pred = np.array([1.0, 5.0, 3.0])
+    lab = np.array([2.0, 5.0, 0.0])
+    valid = np.array([1.0, 1.0, 0.0])
+    assert abs(float(affinity_loss(pred, lab, valid)) - 0.5) < 1e-6
+    assert float(affinity_loss(pred, lab, np.zeros(3))) == 0.0
+    assert abs(float(affinity_loss(pred, lab)) - (1.0 + 0.0 + 9.0) / 3) < 1e-6
+
+
+def test_confidence_training_with_affinity_head():
+    """Combined-head affinity (reference confidence_train.py:231-237): the
+    confidence head's last column is the affinity prediction; training runs
+    with both losses finite and the val metrics report affinity_rmse."""
+    targets = [_synthetic_target("AAAA_1", 0)]
+    cfg = ScoreModelConfig(
+        ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=1, lm_embedding_dim=16,
+        dropout=0.0, confidence_mode=True, affinity_prediction=True,
+    )
+    model = TensorProductScoreModel(cfg)
+    pos = np.stack([targets[0].hc.orig_lig_pos + 0.1, targets[0].hc.orig_lig_pos + 8.0])
+    rmsds = np.sqrt(((pos - targets[0].hc.orig_lig_pos[None]) ** 2).sum(-1).mean(-1))
+    cache = {"AAAA_1": (pos.astype(np.float32), rmsds)}
+    ds = cdataset.FilteringDataset(
+        targets, cache, rmsd_classification_upper=None, balance=False,
+        affinities={"AAAA_1": 6.5}, seed=0,
+    )
+    batch0, _ = ds.sample_batch(cache, 2)
+    variables = model.init(jax.random.PRNGKey(0), batch0)
+    out = model.apply(variables, batch0)
+    assert out.confidence.shape == (2, 2)  # [filtering | affinity]
+
+    state, history = ctrain.train_confidence(
+        model, variables, ds, cache, TrainConfig(lr=1e-3, batch_size=2), n_epochs=2,
+        batches_per_epoch=2, key=jax.random.PRNGKey(3), val_dataset=ds, val_cache=cache,
+        affinity_prediction=True, log=lambda s: None,
+    )
+    tr = history[-1]["train"]
+    assert np.isfinite(tr["affinity_loss"]) and np.isfinite(tr["confidence_loss"])
+    assert "affinity_rmse" in history[-1]["val"]
+    assert np.isfinite(history[-1]["val"]["affinity_mean_mse"])
+
+
 def test_confidence_training_with_atom_loss_all_atom_lmax2():
     """VERDICT r1 next-round #3 'Done' criterion: an all_atoms,
     atom_confidence, sh_lmax=2 model trains end-to-end with both the pose
