@@ -72,9 +72,26 @@ def get_parser():
     p.add_argument("--sigma_schedule", default="expbeta")
     p.add_argument("--inf_sched_alpha", type=float, default=1.0)
     p.add_argument("--inf_sched_beta", type=float, default=1.0)
+    p.add_argument("--actual_steps", type=int, default=None,
+                   help="run only the first N entries of the inference_steps-long "
+                        "schedule (reference inference.py:460)")
+    # per-manifold schedules (reference inference.py:375-381)
+    p.add_argument("--different_schedules", action="store_true")
+    p.add_argument("--rot_sigma_schedule", default="expbeta")
+    p.add_argument("--rot_inf_sched_alpha", type=float, default=1.0)
+    p.add_argument("--rot_inf_sched_beta", type=float, default=1.0)
+    p.add_argument("--tor_sigma_schedule", default="expbeta")
+    p.add_argument("--tor_inf_sched_alpha", type=float, default=1.0)
+    p.add_argument("--tor_inf_sched_beta", type=float, default=1.0)
     p.add_argument("--initial_noise_std_proportion", type=float, default=1.0)
     p.add_argument("--pocket_knowledge", action="store_true")
     p.add_argument("--pocket_cutoff", type=float, default=7.0)
+    p.add_argument("--pocket_tr_max", type=float, default=3.0,
+                   help="initial translation noise std around the pocket center; with "
+                        "--different_schedules it also caps the tr time grid "
+                        "(reference inference.py:364-368,432-434)")
+    p.add_argument("--no_random_pocket", action="store_true",
+                   help="skip the random initial translation in pocket mode")
     # SVGD particle coupling (reference inference.py:185-197)
     p.add_argument("--svgd_weight_log_0", type=float, default=None)
     p.add_argument("--svgd_weight_log_1", type=float, default=None)
@@ -139,11 +156,19 @@ def main(argv=None):
     N = args.samples_per_complex
     sampler_cfg = SamplerConfig(
         inference_steps=args.inference_steps,
+        actual_steps=args.actual_steps,
         no_final_step_noise=args.no_final_step_noise,
         ode=args.ode,
         sigma_schedule=args.sigma_schedule,
         inf_sched_alpha=args.inf_sched_alpha,
         inf_sched_beta=args.inf_sched_beta,
+        different_schedules=args.different_schedules,
+        rot_sigma_schedule=args.rot_sigma_schedule,
+        rot_inf_sched_alpha=args.rot_inf_sched_alpha,
+        rot_inf_sched_beta=args.rot_inf_sched_beta,
+        tor_sigma_schedule=args.tor_sigma_schedule,
+        tor_inf_sched_alpha=args.tor_inf_sched_alpha,
+        tor_inf_sched_beta=args.tor_inf_sched_beta,
         temp_sampling=(args.temp_sampling_tr, args.temp_sampling_rot, args.temp_sampling_tor),
         temp_psi=(args.temp_psi_tr, args.temp_psi_rot, args.temp_psi_tor),
         temp_sigma_data=args.temp_sigma_data,
@@ -216,6 +241,14 @@ def main(argv=None):
                     model = _get_model(cfg)
                 if args.confidence_model_dir:
                     cmodel, _, cvars = load_or_init_model(args.confidence_model_dir, args.confidence_ckpt, batch1)
+                if args.pocket_knowledge and args.different_schedules:
+                    # shrink the tr grid so sigma_tr never exceeds pocket_tr_max
+                    # (reference inference.py:364-368)
+                    import dataclasses
+
+                    t_max = (np.log(args.pocket_tr_max) - np.log(cfg.sigma.tr_sigma_min)) / (
+                        np.log(cfg.sigma.tr_sigma_max) - np.log(cfg.sigma.tr_sigma_min))
+                    sampler_cfg = dataclasses.replace(sampler_cfg, t_max=float(t_max))
 
             # cross-edge cap telemetry at the worst-case radius (weak #3):
             # fraction of in-radius receptor neighbors truncated by the cap
@@ -233,11 +266,17 @@ def main(argv=None):
                     batch = replicate_complex(padded, n)
                     key, k1, k2 = jax.random.split(key, 3)
                     pk = None
+                    # pocket mode: init around the pocket center with the small
+                    # pocket_tr_max noise std (reference inference.py:432-434);
+                    # --no_random_pocket drops the noise entirely
+                    init_std = cfg.sigma.tr_sigma_max
                     if args.pocket_knowledge:
                         c0 = featurize.pocket_center(hc, args.pocket_cutoff)
                         pk = jnp.asarray(np.broadcast_to(c0, (n, 3)).copy())
+                        init_std = args.pocket_tr_max
                     batch = sampling.randomize_position(
-                        batch, k1, cfg.sigma.tr_sigma_max,
+                        batch, k1, init_std,
+                        no_random=args.pocket_knowledge and args.no_random_pocket,
                         pocket_center=pk,
                         initial_noise_std_proportion=args.initial_noise_std_proportion,
                     )

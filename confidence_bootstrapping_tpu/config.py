@@ -98,6 +98,13 @@ class ScoreModelConfig:
     # receptor graph hygiene
     c_alpha_max_neighbors: int = 24
     crop_beyond: Optional[float] = None
+    # crop-compaction capacities for confidence scoring: when crop_beyond is
+    # set, score_confidence packs the kept residues/atoms into these fixed
+    # buckets and runs the trunk on the small view (reference subgraphs the
+    # complex before the forward, utils/utils.py:395-420). 0 disables.
+    # Overflow keeps the nearest and is reported in compact_crop stats.
+    crop_res_cap: int = 256
+    crop_atom_cap: int = 2048
 
     sigma: SigmaParams = field(default_factory=SigmaParams)
 
@@ -107,6 +114,9 @@ class SamplerConfig:
     """Reverse-diffusion sampling knobs (reference utils/sampling.py:59)."""
 
     inference_steps: int = 20
+    # run only the first actual_steps entries of the inference_steps-length
+    # schedule (reference inference.py:460: denser grid, early stop)
+    actual_steps: Optional[int] = None
     # embed the receptor once at B=1 and broadcast over the pose axis when
     # the batch is replicas of ONE complex (the common case); a batch of
     # distinct receptors is detected on device and falls back to full
@@ -115,6 +125,20 @@ class SamplerConfig:
     sigma_schedule: str = "expbeta"
     inf_sched_alpha: float = 1.0
     inf_sched_beta: float = 1.0
+    # per-manifold time schedules (reference inference.py:375-392). The
+    # asyncronous_noise_schedule variant is intentionally unsupported: both
+    # pretrained manifests ship it false and the model-side embedding change
+    # it needs never activates.
+    different_schedules: bool = False
+    rot_sigma_schedule: str = "expbeta"
+    rot_inf_sched_alpha: float = 1.0
+    rot_inf_sched_beta: float = 1.0
+    tor_sigma_schedule: str = "expbeta"
+    tor_inf_sched_alpha: float = 1.0
+    tor_inf_sched_beta: float = 1.0
+    # upper limit of the tr time grid; the infer CLI sets it below 1 for
+    # pocket-aware runs (reference inference.py:364-368)
+    t_max: float = 1.0
     no_random: bool = False
     no_final_step_noise: bool = False
     ode: bool = False

@@ -46,6 +46,98 @@ class AtomRecCache(NamedTuple):
     ar_edge_sh: Any  # [B, A, sh]
 
 
+def _select_pack(keep, order_key, cap):
+    """Pack up to ``cap`` kept rows to the front, preserving original order.
+
+    keep [B, N] bool, order_key [B, N] (smaller = keep first on cap
+    overflow). Returns (sel [B, cap] original indices ascending, valid
+    [B, cap], inv [B, N] new position of each old index, selected [B, N]
+    bool marking rows that actually made it)."""
+    import jax
+
+    B, N = keep.shape
+    k = min(cap, N)
+    _, idx = jax.lax.top_k(jnp.where(keep, -order_key, -jnp.inf), k)
+    valid_by_rank = jnp.take_along_axis(keep, idx, axis=1)
+    idx_sorted = jnp.sort(jnp.where(valid_by_rank, idx, N), axis=1)
+    valid = idx_sorted < N
+    sel = jnp.minimum(idx_sorted, N - 1).astype(jnp.int32)
+    b_idx = jnp.arange(B)[:, None]
+    scatter_to = jnp.where(valid, sel, N)
+    inv = jnp.zeros((B, N), jnp.int32).at[b_idx, scatter_to].set(
+        jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None], sel.shape), mode="drop"
+    )
+    selected = jnp.zeros((B, N), bool).at[b_idx, scatter_to].set(True, mode="drop")
+    return sel, valid, inv, selected
+
+
+def compact_crop(batch: ComplexBatch, cache: Optional[AtomRecCache], crop_dist: float,
+                 n_res: int, n_atoms: int):
+    """Crop + compact the receptor view of a batch for the trunk.
+
+    The reference applies ``crop_beyond`` by SUBGRAPHING the complex before
+    the confidence forward (``utils/utils.py:395-420``,
+    ``confidence/dataset.py:376-377``): residues whose Calpha is farther than
+    ``crop_dist`` from every ligand atom are deleted together with their
+    atoms, and the original neighbor lists are restricted to surviving nodes
+    (NOT recomputed). This function reproduces that per pose with fixed
+    shapes: kept residues/atoms are packed to the front of (n_res, n_atoms)
+    buckets, neighbor indices are remapped, and edges whose sender was
+    cropped are masked. On cap overflow the nearest (by residue-to-ligand
+    distance) survive — report via the returned stats and raise the caps if
+    ``res_overflow``/``atom_overflow`` are nonzero.
+
+    Returns (compacted batch, compacted cache or None, stats dict).
+    """
+    import jax
+
+    B, N = batch.rec_mask.shape
+    b_idx = jnp.arange(B)[:, None]
+    d = jnp.min(
+        jnp.where(batch.lig_mask[:, :, None], pairwise_dist(batch.lig_pos, batch.rec_pos), jnp.inf), axis=1
+    )  # [B, N] residue -> nearest ligand atom
+    keep_res = batch.rec_mask & (d < crop_dist)
+    sel_r, val_r, inv_r, selected_r = _select_pack(keep_res, d, n_res)
+
+    g_r = lambda a: a[b_idx, sel_r] if a is not None else None
+    new_nbr = inv_r[b_idx[..., None], g_r(batch.rec_nbr)]
+    new_nbr_mask = g_r(batch.rec_nbr_mask) & selected_r[b_idx[..., None], g_r(batch.rec_nbr)]
+
+    rep = dict(
+        rec_f=g_r(batch.rec_f), rec_lm=g_r(batch.rec_lm), rec_pos=g_r(batch.rec_pos),
+        rec_mask=val_r, rec_nbr=new_nbr, rec_nbr_mask=new_nbr_mask,
+        rec_sidechain=g_r(batch.rec_sidechain),
+    )
+    stats = dict(
+        kept_res=jnp.sum(keep_res, 1), res_overflow=jnp.maximum(jnp.sum(keep_res, 1) - sel_r.shape[1], 0),
+    )
+    cache_rep = {}
+    if cache is not None:
+        cache_rep.update(rec_attr=g_r(cache.rec_attr), rec_edge_emb=g_r(cache.rec_edge_emb),
+                         rec_edge_sh=g_r(cache.rec_edge_sh))
+
+    if batch.atom_f is not None and batch.atom_f.size:
+        keep_atom = batch.atom_mask & selected_r[b_idx, batch.atom_res]
+        d_atom = d[b_idx, batch.atom_res]
+        sel_a, val_a, inv_a, selected_a = _select_pack(keep_atom, d_atom, n_atoms)
+        g_a = lambda a: a[b_idx, sel_a] if a is not None else None
+        new_anbr = inv_a[b_idx[..., None], g_a(batch.atom_nbr)]
+        new_anbr_mask = g_a(batch.atom_nbr_mask) & selected_a[b_idx[..., None], g_a(batch.atom_nbr)]
+        rep.update(
+            atom_f=g_a(batch.atom_f), atom_pos=g_a(batch.atom_pos), atom_mask=val_a,
+            atom_nbr=new_anbr, atom_nbr_mask=new_anbr_mask, atom_res=inv_r[b_idx, g_a(batch.atom_res)],
+        )
+        stats.update(kept_atoms=jnp.sum(keep_atom, 1),
+                     atom_overflow=jnp.maximum(jnp.sum(keep_atom, 1) - sel_a.shape[1], 0))
+        if cache is not None:
+            cache_rep.update(atom_attr=g_a(cache.atom_attr), atom_edge_emb=g_a(cache.atom_edge_emb),
+                             atom_edge_sh=g_a(cache.atom_edge_sh), ar_edge_emb=g_a(cache.ar_edge_emb),
+                             ar_edge_sh=g_a(cache.ar_edge_sh))
+
+    new_cache = cache._replace(**cache_rep) if cache is not None else None
+    return batch.replace(**rep), new_cache, stats
+
+
 class AllAtomScoreModel(nn.Module):
     cfg: ScoreModelConfig
 

@@ -90,12 +90,37 @@ class Schedules(NamedTuple):
     dt_tor: jnp.ndarray
 
 
+def num_steps(cfg: SamplerConfig) -> int:
+    """Steps actually executed: the schedule has cfg.inference_steps entries
+    but only the first cfg.actual_steps run when set (reference
+    inference.py:460 passes actual_steps as sampling()'s step count)."""
+    return int(cfg.actual_steps) if cfg.actual_steps else int(cfg.inference_steps)
+
+
 def make_schedules(cfg: SamplerConfig) -> Schedules:
-    t = get_t_schedule(cfg.inference_steps, cfg.sigma_schedule, cfg.inf_sched_alpha, cfg.inf_sched_beta)
-    t = jnp.asarray(t)
-    dt = t - jnp.concatenate([t[1:], jnp.zeros((1,))])
-    # last step: dt = t[-1] (reference sampling.py:95-97)
-    return Schedules(t, t, t, dt, dt, dt)
+    t_tr = get_t_schedule(cfg.inference_steps, cfg.sigma_schedule, cfg.inf_sched_alpha,
+                          cfg.inf_sched_beta, t_max=cfg.t_max)
+    if cfg.different_schedules:
+        # independent rot/tor grids (reference inference.py:375-381)
+        t_rot = get_t_schedule(cfg.inference_steps, cfg.rot_sigma_schedule,
+                               cfg.rot_inf_sched_alpha, cfg.rot_inf_sched_beta)
+        t_tor = get_t_schedule(cfg.inference_steps, cfg.tor_sigma_schedule,
+                               cfg.tor_inf_sched_alpha, cfg.tor_inf_sched_beta)
+    else:
+        t_rot = t_tor = t_tr
+
+    n = num_steps(cfg)
+
+    def cut(t):
+        # last executed step: dt = t[n-1] (reference sampling.py:95-97 with
+        # inference_steps = actual_steps — the final step jumps to t=0)
+        t = jnp.asarray(t[:n])
+        return t, t - jnp.concatenate([t[1:], jnp.zeros((1,))])
+
+    t_tr, dt_tr = cut(t_tr)
+    t_rot, dt_rot = cut(t_rot)
+    t_tor, dt_tor = cut(t_tor)
+    return Schedules(t_tr, t_rot, t_tor, dt_tr, dt_rot, dt_tor)
 
 
 def _g(sigma, smax, smin):
@@ -129,7 +154,7 @@ def reverse_diffusion_step(
     rot_g = _g(rot_sigma, sp.rot_sigma_max, sp.rot_sigma_min)
     tor_g = _g(tor_sigma, sp.tor_sigma_max, sp.tor_sigma_min)
 
-    last = step_idx == cfg.inference_steps - 1
+    last = step_idx == num_steps(cfg) - 1
     no_noise = cfg.no_random | (cfg.no_final_step_noise & last)
     k_tr, k_rot, k_tor = jax.random.split(key, 3)
     zscale = jnp.where(no_noise, 0.0, 1.0)
@@ -159,7 +184,7 @@ def reverse_diffusion_step(
         tor_perturb = tor_g**2 * dt_tor * (lam_tor + t2 * p2 / 2) * tor_score + tor_g * jnp.sqrt(dt_tor * (1 + p2)) * tor_z
 
     if cfg.svgd_weight_log_0 is not None and cfg.svgd_weight_log_1 is not None and not cfg.ode:
-        t_frac = step_idx.astype(jnp.float32) / cfg.inference_steps
+        t_frac = step_idx.astype(jnp.float32) / num_steps(cfg)
         tr_perturb, rot_perturb, tor_perturb = _svgd_perturbations(
             batch, cfg, t_frac,
             tr_score, rot_score, tor_score, tr_z, rot_z, tor_z,
@@ -376,8 +401,8 @@ def sample(
         nb = reverse_diffusion_step(model, variables, b, rec_cache, k, step_idx, sched, model_cfg, cfg)
         return nb.lig_pos, (nb.lig_pos if return_trajectory else None)
 
-    keys = jax.random.split(key, cfg.inference_steps)
-    steps = jnp.arange(cfg.inference_steps)
+    keys = jax.random.split(key, num_steps(cfg))
+    steps = jnp.arange(num_steps(cfg))
     final_pos, traj = jax.lax.scan(body, batch.lig_pos, (steps, keys))
     return batch.replace(lig_pos=final_pos), traj
 
@@ -412,7 +437,8 @@ def sample_jit(model, variables, batch, key, model_cfg, cfg, return_trajectory=F
     return _sample_jit_inner(model, variables, batch, key, temps, model_cfg, cfg_static, return_trajectory)
 
 
-def score_confidence(conf_model, conf_variables, batch: ComplexBatch, lig_pos=None, shared_receptor: bool = True):
+def score_confidence(conf_model, conf_variables, batch: ComplexBatch, lig_pos=None,
+                     shared_receptor: bool = True, compact: bool = True):
     """Confidence-model scoring of (final) poses at t=0.
 
     batch: the confidence model's graph view of the complexes (possibly
@@ -421,13 +447,43 @@ def score_confidence(conf_model, conf_variables, batch: ComplexBatch, lig_pos=No
     and broadcasts when the batch really is replicas of one complex; a
     batch of distinct complexes falls back to per-element embedding
     (lax.cond), so sharing is safe to leave on.
+
+    compact: when the model crops (crop_beyond set), pack each pose's
+    kept residues/atoms into the model config's (crop_res_cap,
+    crop_atom_cap) buckets and run the trunk on the small view — the
+    reference's subgraph-before-forward crop semantics
+    (utils/utils.py:395-420) at a fraction of the full-bucket cost.
     NaNs are mapped to -1000 like the reference (sampling.py:265).
     """
     if lig_pos is not None:
         batch = batch.replace(lig_pos=lig_pos)
     b = batch.set_time(0.0, 0.0, 0.0)
+    cfg = conf_model.cfg
     kwargs = {}
-    if shared_receptor:
+    do_compact = (
+        compact
+        and getattr(cfg, "all_atoms", False)
+        and cfg.crop_beyond is not None
+        and cfg.crop_res_cap > 0
+        and cfg.crop_atom_cap > 0
+        and b.atom_f is not None
+        and b.rec_pos.shape[1] > cfg.crop_res_cap
+    )
+    if do_compact:
+        from ..models.all_atom_model import compact_crop
+
+        if shared_receptor:
+            # embed the full receptor once, then compact batch + cache for
+            # the trunk (the embedding phase sees the uncropped graph — a
+            # documented deviation from the reference, which crops first)
+            cache = _receptor_cache_shared(conf_model, conf_variables, b)
+            b, cache, _ = compact_crop(b, cache, float(cfg.crop_beyond), cfg.crop_res_cap, cfg.crop_atom_cap)
+            kwargs["rec_cache"] = cache
+        else:
+            # reference-exact: crop + compact BEFORE the forward, so the
+            # embedding phase also runs on the subgraph (per pose)
+            b, _, _ = compact_crop(b, None, float(cfg.crop_beyond), cfg.crop_res_cap, cfg.crop_atom_cap)
+    elif shared_receptor:
         kwargs["rec_cache"] = _receptor_cache_shared(conf_model, conf_variables, b)
     out = conf_model.apply(conf_variables, b, **kwargs)
     conf = out.confidence

@@ -90,3 +90,96 @@ def test_confidence_architecture_runs():
     out = model.apply(variables, batch)
     assert out.confidence.shape == (2,)
     assert np.isfinite(np.asarray(out.confidence)).all()
+
+
+def test_compact_crop_identity_when_nothing_cropped():
+    """compact_crop with a huge crop distance and caps >= bucket sizes is an
+    identity on the real nodes: the trunk forward on the compacted view
+    (with the remapped cache) matches the full forward exactly."""
+    from confidence_bootstrapping_tpu.models.all_atom_model import compact_crop
+
+    cfg = confidence_model_config(ns=8, nv=2, num_conv_layers=2, lm_embedding_dim=16)
+    batch = make_aa_batch().set_time(0.0, 0.0, 0.0)
+    model = get_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    full = model.apply(variables, batch).confidence
+
+    cache = model.apply(variables, batch, method="embed_receptor")
+    N, A = batch.rec_pos.shape[1], batch.atom_pos.shape[1]
+    cb, cc, stats = compact_crop(batch, cache, 1e6, N, A)
+    np.testing.assert_array_equal(np.asarray(cb.rec_mask), np.asarray(batch.rec_mask))
+    np.testing.assert_array_equal(np.asarray(cb.atom_mask), np.asarray(batch.atom_mask))
+    assert int(np.asarray(stats["res_overflow"]).max()) == 0
+    out = model.apply(variables, cb, rec_cache=cc).confidence
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-5)
+
+
+def test_compact_crop_semantics():
+    """Cropping semantics match the reference's subgraph crop
+    (utils/utils.py:395-420): only residues within crop_dist survive (packed,
+    order preserved), their atoms follow, neighbor indices are remapped, and
+    edges whose sender was cropped are masked."""
+    from confidence_bootstrapping_tpu.models.all_atom_model import compact_crop
+
+    batch = make_aa_batch()
+    crop = 6.0
+    B = batch.lig_pos.shape[0]
+    cb, _, stats = compact_crop(batch, None, crop, 16, 24)
+
+    for b in range(B):
+        d = np.linalg.norm(
+            np.asarray(batch.rec_pos)[b][None] - np.asarray(batch.lig_pos)[b][:, None], axis=-1
+        )
+        d = np.where(np.asarray(batch.lig_mask)[b][:, None], d, np.inf).min(0)
+        keep = np.asarray(batch.rec_mask)[b] & (d < crop)
+        kept_idx = np.flatnonzero(keep)
+        assert int(np.asarray(stats["kept_res"])[b]) == len(kept_idx)
+        n_kept = len(kept_idx)
+        # packed order-preserving selection
+        np.testing.assert_array_equal(
+            np.asarray(cb.rec_pos)[b, :n_kept], np.asarray(batch.rec_pos)[b, kept_idx]
+        )
+        assert not np.asarray(cb.rec_mask)[b, n_kept:].any()
+        # neighbor remap: surviving edges point at the same coordinates
+        old2new = {o: n for n, o in enumerate(kept_idx)}
+        for new_i, old_i in enumerate(kept_idx):
+            for k in range(batch.rec_nbr.shape[-1]):
+                old_nbr = int(np.asarray(batch.rec_nbr)[b, old_i, k])
+                was_valid = bool(np.asarray(batch.rec_nbr_mask)[b, old_i, k])
+                now_valid = bool(np.asarray(cb.rec_nbr_mask)[b, new_i, k])
+                assert now_valid == (was_valid and old_nbr in old2new)
+                if now_valid:
+                    assert int(np.asarray(cb.rec_nbr)[b, new_i, k]) == old2new[old_nbr]
+        # atoms follow their residues, atom_res remapped
+        a_keep = np.asarray(batch.atom_mask)[b] & np.isin(np.asarray(batch.atom_res)[b], kept_idx)
+        a_idx = np.flatnonzero(a_keep)
+        assert int(np.asarray(stats["kept_atoms"])[b]) == len(a_idx)
+        np.testing.assert_array_equal(
+            np.asarray(cb.atom_pos)[b, : len(a_idx)], np.asarray(batch.atom_pos)[b, a_idx]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cb.atom_res)[b, : len(a_idx)],
+            np.asarray([old2new[o] for o in np.asarray(batch.atom_res)[b, a_idx]]),
+        )
+
+
+def test_score_confidence_compact_path_runs():
+    """score_confidence's compacted trunk (crop_res_cap/crop_atom_cap) runs
+    and returns finite scores on a batch larger than the caps."""
+    import dataclasses
+
+    from confidence_bootstrapping_tpu.sampler import sampling
+
+    cfg = dataclasses.replace(
+        confidence_model_config(ns=8, nv=2, num_conv_layers=2, lm_embedding_dim=16),
+        crop_beyond=8.0, crop_res_cap=16, crop_atom_cap=24,
+    )
+    batch = make_aa_batch().set_time(0.0, 0.0, 0.0)
+    model = get_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    conf = sampling.score_confidence(model, variables, batch)
+    assert conf.shape == (2,)
+    assert np.isfinite(np.asarray(conf)).all()
+    # and the uncompacted path still works for comparison
+    conf_full = sampling.score_confidence(model, variables, batch, compact=False)
+    assert np.isfinite(np.asarray(conf_full)).all()

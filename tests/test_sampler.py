@@ -135,3 +135,39 @@ def test_cross_cap_is_configurable_and_converges():
     o48 = m48.apply(v, batch)
     o96 = m96.apply(v, batch)  # params are cap-independent
     np.testing.assert_allclose(np.asarray(o48.tr_pred), np.asarray(o96.tr_pred), atol=1e-5)
+
+
+def test_make_schedules_different_and_actual_steps():
+    """Per-manifold schedules (reference inference.py:375-381) and
+    actual_steps truncation (:460): grids differ when asked, the tr grid
+    respects t_max, and only the first actual_steps entries survive with
+    the final dt jumping to t=0 (reference sampling.py:95-97)."""
+    cfg = SamplerConfig(inference_steps=10, different_schedules=True,
+                        rot_inf_sched_alpha=2.0, rot_inf_sched_beta=1.0,
+                        tor_inf_sched_alpha=1.0, tor_inf_sched_beta=2.0,
+                        t_max=0.5)
+    s = sampling.make_schedules(cfg)
+    assert s.t_tr.shape == (10,)
+    assert float(s.t_tr[0]) <= 0.5 + 1e-6  # t_max caps the tr grid
+    assert float(s.t_rot[0]) > 0.9  # rot/tor grids start at t=1
+    assert not np.allclose(np.asarray(s.t_rot), np.asarray(s.t_tor))
+    # dt telescopes to the full grid: sum(dt) == t[0]
+    np.testing.assert_allclose(np.asarray(s.dt_rot).sum(), np.asarray(s.t_rot)[0], rtol=1e-5)
+
+    cut = sampling.make_schedules(SamplerConfig(inference_steps=10, actual_steps=4))
+    full = sampling.make_schedules(SamplerConfig(inference_steps=10))
+    assert sampling.num_steps(SamplerConfig(inference_steps=10, actual_steps=4)) == 4
+    assert cut.t_tr.shape == (4,)
+    np.testing.assert_allclose(np.asarray(cut.t_tr), np.asarray(full.t_tr)[:4], atol=0)
+    # last executed step jumps to t=0
+    np.testing.assert_allclose(float(cut.dt_tr[-1]), float(cut.t_tr[-1]), atol=0)
+
+
+def test_sampling_with_actual_steps_and_different_schedules():
+    model, variables, batch = _setup()
+    cfg = SamplerConfig(inference_steps=6, actual_steps=3, different_schedules=True,
+                        rot_inf_sched_alpha=2.0, tor_inf_sched_beta=2.0)
+    final, traj = sampling.sample(model, variables, batch, jax.random.PRNGKey(7), SMALL_CFG, cfg,
+                                  return_trajectory=True)
+    assert traj.shape == (3,) + batch.lig_pos.shape  # only actual_steps ran
+    assert np.isfinite(np.asarray(final.lig_pos)).all()
