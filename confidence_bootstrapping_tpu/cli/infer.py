@@ -40,6 +40,12 @@ def get_parser():
     p.add_argument("--protein_ligand_csv", default=None)
     p.add_argument("--data_dir", default=None, help="dir of {name}/{name}_ligand.sdf etc.")
     p.add_argument("--names_file", default=None, help="optional list of complex names to evaluate")
+    # MOAD/DockGen split selection (reference inference.py evaluates the MOAD
+    # test split via ECOD cluster pickles; data_dir still supplies the files)
+    p.add_argument("--split", default="test")
+    p.add_argument("--moad_splits_pkl", default=None,
+                   help="MOAD_generalisation_splits.pkl: evaluate only the --split clusters")
+    p.add_argument("--cluster_to_ligands_pkl", default=None)
     p.add_argument("--model_dir", default=None)
     p.add_argument("--ckpt", default="last_model")
     p.add_argument("--confidence_model_dir", default=None)
@@ -110,6 +116,9 @@ def get_parser():
                    help="also compute obrms (OpenBabel) RMSDs when the binary is present (reference utils/utils.py:27-43)")
     p.add_argument("--save_complexes", action="store_true",
                    help="save all sampled poses per complex as npy (reference inference.py:586-590)")
+    p.add_argument("--save_visualisation", action="store_true",
+                   help="write reverse-diffusion trajectory PDBs per pose (reference "
+                        "inference.py:436-448 visualization_list)")
     p.add_argument("--out_dir", default="results/eval")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--esm_embeddings_path", default=None)
@@ -128,6 +137,13 @@ def discover_complexes(args) -> List[Tuple[str, str, str]]:
         names = sorted(os.listdir(args.data_dir))
         if args.names_file:
             keep = set(open(args.names_file).read().split())
+            names = [n for n in names if n in keep]
+        if args.moad_splits_pkl and args.cluster_to_ligands_pkl:
+            from ..data import moad as moad_mod
+
+            clusters = moad_mod.load_cluster_splits(args.moad_splits_pkl, args.split)
+            c2l = moad_mod.load_cluster_to_ligands(args.cluster_to_ligands_pkl)
+            keep = {n for c in clusters for n in c2l.get(c, [])}
             names = [n for n in names if n in keep]
         for n in names:
             d = os.path.join(args.data_dir, n)
@@ -280,8 +296,19 @@ def main(argv=None):
                         pocket_center=pk,
                         initial_noise_std_proportion=args.initial_noise_std_proportion,
                     )
-                    final, _ = sampling.sample_jit(model, variables, batch, k2, cfg, sampler_cfg)
+                    final, traj = sampling.sample_jit(model, variables, batch, k2, cfg, sampler_cfg,
+                                                      args.save_visualisation)
                     pos = np.asarray(final.lig_pos)[:, : len(hc.lig_f)]
+                    if args.save_visualisation:
+                        tr = np.concatenate([np.asarray(batch.lig_pos)[None], np.asarray(traj)], axis=0)
+                        L = len(hc.lig_f)
+                        vis_dir = os.path.join(args.out_dir, "visualisation", name)
+                        os.makedirs(vis_dir, exist_ok=True)
+                        for i in range(n):
+                            mol_io.write_pdb_trajectory(
+                                heavy, tr[:, i, :L] + hc.orig_center,
+                                os.path.join(vis_dir, f"traj_{start + i}.pdb"),
+                            )
                     if cmodel is not None:
                         conf = np.asarray(sampling.score_confidence(cmodel, cvars, final))
                     else:

@@ -54,3 +54,43 @@ def test_infer_mixed_buckets_with_aa_confidence(tmp_path):
     confs = np.load(os.path.join(out, "confidences.npy"))
     assert confs.shape == (2, 2)
     assert np.isfinite(confs).all()  # AA confidence model scored both buckets
+
+
+def test_infer_moad_split_filter_and_visualisation(tmp_path):
+    """MOAD split pickles restrict evaluation to the split's cluster ligands
+    (reference inference.py evaluates the MOAD test split) and
+    --save_visualisation writes reverse-diffusion trajectory PDBs."""
+    import pickle
+
+    from confidence_bootstrapping_tpu.cli import infer
+
+    data = tmp_path / "data"
+    _write_toy_complex_dir(str(data), "aaaa", seed=0, n_res=10)
+    _write_toy_complex_dir(str(data), "bbbb", seed=1, n_res=12)
+
+    splits = {"test": ["c1"], "train": ["c2"]}
+    with open(tmp_path / "splits.pkl", "wb") as f:
+        pickle.dump(splits, f)
+    with open(tmp_path / "c2l.pkl", "wb") as f:
+        pickle.dump({"c1": ["aaaa"], "c2": ["bbbb"]}, f)
+
+    score_dir = _model_dir(
+        str(tmp_path / "score"),
+        ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                         lm_embedding_dim=0, dropout=0.0),
+    )
+    out = str(tmp_path / "out")
+    infer.main([
+        "--data_dir", str(data), "--out_dir", out, "--model_dir", score_dir,
+        "--samples_per_complex", "2", "--inference_steps", "2", "--batch_size", "2",
+        "--moad_splits_pkl", str(tmp_path / "splits.pkl"),
+        "--cluster_to_ligands_pkl", str(tmp_path / "c2l.pkl"),
+        "--save_visualisation",
+    ])
+    with open(os.path.join(out, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["n_complexes"] == 1  # only the test-split cluster ligand
+    trajs = os.listdir(os.path.join(out, "visualisation", "aaaa"))
+    assert sorted(trajs) == ["traj_0.pdb", "traj_1.pdb"]
+    txt = open(os.path.join(out, "visualisation", "aaaa", "traj_0.pdb")).read()
+    assert txt.count("MODEL") >= 3  # init + 2 steps
