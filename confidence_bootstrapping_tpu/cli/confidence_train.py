@@ -60,6 +60,10 @@ def get_parser():
     p.add_argument("--affinity_csv", default=None,
                    help="CSV of 'complex_name,affinity' per line (the reference's "
                         "affinity label dataset is not shipped upstream)")
+    p.add_argument("--transfer_weights", action="store_true",
+                   help="build the confidence model with the SCORE model's architecture and "
+                        "initialize every matching tensor from its checkpoint "
+                        "(reference confidence_train.py:566-575); heads stay fresh")
     p.add_argument("--trajectory_sampling", action="store_true",
                    help="train on random reverse-diffusion frames with their diffusion "
                         "time stamped (reference confidence/dataset.py:307-310)")
@@ -85,6 +89,27 @@ def build_targets(args, names_file, all_atoms):
     return [CBTarget(ds.complexes[i], ds.mols[ds.complexes[i].name], lm_dim=lm) for i in range(len(ds.complexes))]
 
 
+def transfer_matching_variables(dst_vars, src_vars):
+    """Copy every leaf whose path + shape + dtype match from src into dst
+    (the reference's state_dict.update over intersecting keys,
+    confidence_train.py:569-575). Returns (new variables, copied count)."""
+    import flax
+
+    out = flax.core.unfreeze(dict(dst_vars))
+    n = 0
+    for col in ("params", "batch_stats"):
+        if col not in out or col not in src_vars:
+            continue
+        d = flax.traverse_util.flatten_dict(flax.core.unfreeze(out[col]))
+        s = flax.traverse_util.flatten_dict(flax.core.unfreeze(src_vars[col]))
+        for k, v in s.items():
+            if k in d and d[k].shape == v.shape and d[k].dtype == v.dtype:
+                d[k] = v
+                n += 1
+        out[col] = flax.traverse_util.unflatten_dict(d)
+    return out, n
+
+
 def main(argv=None):
     from ..runtime import enable_compilation_cache
 
@@ -93,15 +118,17 @@ def main(argv=None):
     os.makedirs(args.workdir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
 
-    # targets with all-atom graphs (the confidence model's view)
-    targets = build_targets(args, args.split_train, all_atoms=True)
-    val_targets = build_targets(args, args.split_val, all_atoms=True) if args.split_val else targets[: max(1, len(targets) // 10)]
-    print(f"confidence training: {len(targets)} train / {len(val_targets)} val complexes")
-
     # frozen score model (coarse-grained view for generation)
     gen_targets = build_targets(args, args.split_train, all_atoms=False)
     example = replicate_complex(gen_targets[0].padded, 1)
     score_model, score_cfg, score_vars = load_or_init_model(args.original_model_dir, args.original_ckpt, example)
+
+    # targets with the confidence model's graph view: all-atom unless the
+    # weights are transferred from the (coarse-grained) score architecture
+    conf_all_atoms = score_cfg.all_atoms if args.transfer_weights else args.all_atoms
+    targets = build_targets(args, args.split_train, all_atoms=conf_all_atoms)
+    val_targets = build_targets(args, args.split_val, all_atoms=conf_all_atoms) if args.split_val else targets[: max(1, len(targets) // 10)]
+    print(f"confidence training: {len(targets)} train / {len(val_targets)} val complexes")
 
     gen_dir = os.path.join(args.cache_path, "confidence_generation")
     if args.cache_creation_id is not None:
@@ -146,18 +173,35 @@ def main(argv=None):
                 name_, val = line.rsplit(",", 1)
                 affinities[name_.strip()] = float(val)
 
-    cfg = confidence_model_config(
-        ns=args.ns, nv=args.nv, all_atoms=args.all_atoms,
-        num_confidence_outputs=len(cutoff) + 1 if isinstance(cutoff, list) else 1,
-        atom_confidence=args.atom_confidence_loss_weight > 0,
-        atom_num_confidence_outputs=len(atom_cutoff) + 1 if isinstance(atom_cutoff, list) else 1,
-        affinity_prediction=args.affinity_prediction,
-        parallel=args.parallel,
-        old_score_model=args.parallel > 1,  # grouped-pose affinity is a legacy-model feature
-    )
+    if args.transfer_weights:
+        # confidence model takes the SCORE model's architecture and inherits
+        # its matching weights (reference confidence_train.py:566-575)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            score_cfg, confidence_mode=True,
+            num_confidence_outputs=len(cutoff) + 1 if isinstance(cutoff, list) else 1,
+            atom_confidence=args.atom_confidence_loss_weight > 0,
+            atom_num_confidence_outputs=len(atom_cutoff) + 1 if isinstance(atom_cutoff, list) else 1,
+            affinity_prediction=args.affinity_prediction,
+            parallel=args.parallel,
+        )
+    else:
+        cfg = confidence_model_config(
+            ns=args.ns, nv=args.nv, all_atoms=args.all_atoms,
+            num_confidence_outputs=len(cutoff) + 1 if isinstance(cutoff, list) else 1,
+            atom_confidence=args.atom_confidence_loss_weight > 0,
+            atom_num_confidence_outputs=len(atom_cutoff) + 1 if isinstance(atom_cutoff, list) else 1,
+            affinity_prediction=args.affinity_prediction,
+            parallel=args.parallel,
+            old_score_model=args.parallel > 1,  # grouped-pose affinity is a legacy-model feature
+        )
     model = get_model(cfg)
     example_c = replicate_complex(targets[0].padded, args.batch_size).set_time(0.0, 0.0, 0.0)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), example_c)
+    if args.transfer_weights:
+        variables, n_copied = transfer_matching_variables(variables, score_vars)
+        print(f"transferred {n_copied} matching parameter tensors from the score model")
 
     ds = cdataset.FilteringDataset(
         targets, cache, cutoff,

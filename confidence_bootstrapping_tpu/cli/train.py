@@ -62,6 +62,8 @@ def get_parser():
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--inference_earlystop_patience", type=int, default=30)
     p.add_argument("--restart_dir", default=None, help="resume params+EMA from last_model in this dir")
+    p.add_argument("--restart_lr", type=float, default=None,
+                   help="override the learning rate after a restart (reference train.py:197)")
     p.add_argument("--pretrain_dir", default=None,
                    help="initialize weights only (fresh optimizer/EMA; reference train.py:208-211)")
     p.add_argument("--warmup_dur", type=int, default=0, help="linear LR warmup epochs (reference lr_start_factor)")
@@ -218,6 +220,10 @@ def main(argv=None):
             v = checkpoints.load_params(os.path.join(args.restart_dir, "last_model.msgpack"), v)
             state = state._replace(params=v["params"], batch_stats=v.get("batch_stats", state.batch_stats), ema_params=v["params"])
             print(f"restarted (weights only) from {args.restart_dir}")
+        if args.restart_lr is not None:
+            # the optimizer's base LR is tcfg.lr; lr_scale multiplies updates
+            state = state._replace(lr_scale=jax.numpy.asarray(args.restart_lr / tcfg.lr))
+            print(f"restart_lr: effective LR set to {args.restart_lr}")
 
     if args.data_parallel:
         meshlib.maybe_init_distributed()

@@ -255,3 +255,51 @@ def test_confidence_training_with_atom_loss_all_atom_lmax2():
     assert tr["atom_confidence_loss"] > 0.0
     # params actually moved
     assert history[0]["train"]["loss"] != history[-1]["train"]["loss"]
+
+
+def test_transfer_weights_cli_end_to_end(tmp_path):
+    """--transfer_weights builds the confidence model with the score model's
+    architecture and inherits every matching tensor (reference
+    confidence_train.py:566-575); the CLI then trains end-to-end."""
+    import os
+
+    from confidence_bootstrapping_tpu.cli import confidence_train as cli
+    from confidence_bootstrapping_tpu.config import ScoreModelConfig, save_yaml
+    from confidence_bootstrapping_tpu.train import checkpoints as ckpt_mod
+
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_datasets import _write_toy_complex_dir
+
+    data = tmp_path / "data"
+    _write_toy_complex_dir(str(data), "aaaa", seed=0, n_res=10)
+
+    score_dir = tmp_path / "score"
+    os.makedirs(score_dir)
+    score_cfg = ScoreModelConfig(ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=1,
+                                 lm_embedding_dim=0, dropout=0.0)
+    save_yaml(score_cfg, os.path.join(score_dir, ckpt_mod.CONFIG_NAME))
+
+    wd = str(tmp_path / "wd")
+    cli.main([
+        "--data_dir", str(data), "--cache_path", str(tmp_path / "cache"),
+        "--workdir", wd, "--original_model_dir", str(score_dir),
+        "--samples_per_complex", "2", "--inference_steps", "2",
+        "--n_epochs", "1", "--batches_per_epoch", "2", "--batch_size", "2",
+        "--transfer_weights",
+    ])
+    assert os.path.exists(os.path.join(wd, ckpt_mod.CONFIG_NAME))
+
+
+def test_transfer_matching_variables_unit():
+    from confidence_bootstrapping_tpu.cli.confidence_train import transfer_matching_variables
+
+    dst = {"params": {"a": {"w": np.zeros((2, 2))}, "head": {"w": np.zeros(3)}},
+           "batch_stats": {"a": {"mean": np.zeros(4)}}}
+    src = {"params": {"a": {"w": np.ones((2, 2))}, "other": {"w": np.ones(5)}},
+           "batch_stats": {"a": {"mean": np.ones(4)}}}
+    out, n = transfer_matching_variables(dst, src)
+    assert n == 2
+    np.testing.assert_array_equal(out["params"]["a"]["w"], 1.0)
+    np.testing.assert_array_equal(out["params"]["head"]["w"], 0.0)  # head stays fresh
+    np.testing.assert_array_equal(out["batch_stats"]["a"]["mean"], 1.0)
