@@ -220,6 +220,8 @@ class PDBSidechainDataset:
         add_random_ligand: bool = False,
         smiles_list: Optional[Sequence[str]] = None,
         use_cg_features: bool = True,
+        multiplicity: int = 1,
+        merge_clusters: int = 1,
     ):
         """split: with a reference-style root layout (list.csv mapping
         CHAINID->CLUSTER plus valid_clusters.txt / test_clusters.txt,
@@ -259,6 +261,28 @@ class PDBSidechainDataset:
                 print(f"pdb_sidechain: skipping {f}: {type(e).__name__}: {e}")
         self.names = [hc.name for hc in self.complexes]
         self.by_name = {hc.name: hc for hc in self.complexes}
+
+        # cluster-random serving (reference datasets/pdb.py:249-260): an
+        # epoch visits len(clusters) * multiplicity // merge_clusters items;
+        # each get() picks a cluster (merge_clusters adjacent clusters form
+        # one slot) and serves a random complex of it. Clusters come from
+        # list.csv when present, else one cluster per structure.
+        self.multiplicity = int(multiplicity)
+        self.merge_clusters = int(merge_clusters)
+        chain_to_cluster = {}
+        list_csv = os.path.join(data_dir, "list.csv")
+        if os.path.exists(list_csv):
+            import csv
+
+            with open(list_csv) as f:
+                for row in csv.DictReader(f):
+                    chain_to_cluster[row["CHAINID"][:4].lower()] = row["CLUSTER"]
+        self.cluster_to_names: Dict[str, List[str]] = {}
+        for hc in self.complexes:
+            cl = chain_to_cluster.get(hc.name[:4].lower(), hc.name.split("_")[0])
+            self.cluster_to_names.setdefault(cl, []).append(hc.name)
+        self.clusters = sorted(self.cluster_to_names)
+        self._serve_rng = np.random.RandomState(seed + 1)
 
     @staticmethod
     def _read_split(root: str, split: str):
@@ -374,10 +398,22 @@ class PDBSidechainDataset:
         )
 
     def __len__(self):
-        return len(self.complexes)
+        if not self.clusters:
+            return 0
+        return max(1, len(self.clusters) * self.multiplicity // self.merge_clusters)
 
     def get(self, idx: int):
-        return self.complexes[idx % len(self.complexes)]
+        """Cluster-random item (reference datasets/pdb.py:251-260): idx maps
+        to a cluster slot; with merge_clusters > 1 one of the merged
+        adjacent clusters is drawn at random, then a random complex of it."""
+        if self.multiplicity == 1 and self.merge_clusters == 1 and len(self.clusters) == len(self.complexes):
+            return self.complexes[idx % len(self.complexes)]
+        ci = idx % len(self.clusters)
+        if self.merge_clusters > 1:
+            ci = min(ci * self.merge_clusters + self._serve_rng.randint(self.merge_clusters),
+                     len(self.clusters) - 1)
+        names = self.cluster_to_names[self.clusters[ci]]
+        return self.by_name[names[self._serve_rng.randint(len(names))]]
 
     def get_by_name(self, name: str):
         return self.by_name[name]

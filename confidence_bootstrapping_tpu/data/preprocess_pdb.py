@@ -16,8 +16,21 @@ import numpy as np
 
 from .mol_io import Molecule, ProteinStructure, Residue, atomic_number, parse_pdb, write_sdf
 
-# Common cofactors/ions/buffer components excluded as "ligands"
-# (reference data/preprocess_PDB.py ligand blacklist).
+def load_moad_blacklist() -> frozenset:
+    """The full Binding MOAD ligand blacklist (1554 entries of cofactor /
+    ion / buffer / peptide ligand name strings) — a data constant that must
+    match the reference byte-for-byte for dataset parity (reference
+    data/preprocess_PDB.py:1-337 ``black_list``); shipped as a JSON asset."""
+    import json
+
+    p = os.path.join(os.path.dirname(__file__), "moad_ligand_blacklist.json")
+    with open(p) as f:
+        return frozenset(json.load(f))
+
+
+# Short built-in subset used by the hetero-ligand extractor for single-name
+# lookups (the full MOAD table above also covers multi-component names like
+# "ACT CD"; extract_hetero_ligands sees one residue name at a time).
 LIGAND_BLACKLIST = {
     "HOH", "DOD", "WAT", "SO4", "PO4", "GOL", "EDO", "PEG", "PGE", "ACT",
     "DMS", "TRS", "MES", "EPE", "FMT", "CIT", "TAR", "MLI", "ACE", "NH2",
@@ -53,18 +66,22 @@ def download_pdb(pdb_id: str, out_dir: str, url_template: str = RCSB_BIOUNIT_URL
         return None
 
 
-def extract_hetero_ligands(pdb_path: str, min_atoms: int = 3, max_atoms: int = 200) -> List[Tuple[str, Molecule]]:
+def extract_hetero_ligands(pdb_path: str, min_atoms: int = 3, max_atoms: int = 200,
+                           blacklist=None) -> List[Tuple[str, Molecule]]:
     """HETATM groups -> candidate ligand Molecules (blacklist-filtered).
 
     Bonds are inferred by distance (covalent radii heuristic) since PDB
-    HETATM records carry no bond table.
+    HETATM records carry no bond table. blacklist defaults to the built-in
+    short table plus the reference's full 1554-entry MOAD list.
     """
+    if blacklist is None:
+        blacklist = LIGAND_BLACKLIST | load_moad_blacklist()
     groups: Dict[Tuple[str, str, int], List[Tuple[str, int, np.ndarray]]] = {}
     for line in open(pdb_path):
         if not line.startswith("HETATM"):
             continue
         resname = line[17:20].strip()
-        if resname in LIGAND_BLACKLIST:
+        if resname in blacklist:
             continue
         chain = line[21]
         try:

@@ -332,3 +332,37 @@ def test_chemical_group_features():
         cg = compute_cg_features(aa)
         assert cg is not None, aa
         assert cg[3].shape[1] == 16
+
+
+def test_pdb_sidechain_multiplicity_and_merge_clusters(tmp_path):
+    """Cluster-random serving (reference datasets/pdb.py:249-260): an epoch
+    has len(clusters) * multiplicity // merge_clusters items and get() serves
+    complexes of the slot's cluster(s)."""
+    from confidence_bootstrapping_tpu.data.pdb_sidechain import PDBSidechainDataset
+
+    for nm in ("1abc", "2xyz"):
+        _write_sidechain_pdb(str(tmp_path / f"{nm}.pdb"), seed=hash(nm) % 100)
+
+    ds = PDBSidechainDataset(str(tmp_path), min_contacts=2, buffer_residue_num=1,
+                             max_complexes_per_structure=2, multiplicity=3)
+    assert len(ds.clusters) == 2
+    assert len(ds) == 6  # 2 clusters x multiplicity 3
+    # slot 0 serves cluster 0's complexes only (no merging)
+    got = {ds.get(0).name[:4] for _ in range(6)}
+    assert got == {ds.clusters[0][:4]} or got == {ds.cluster_to_names[ds.clusters[0]][0][:4]}
+
+    dm = PDBSidechainDataset(str(tmp_path), min_contacts=2, buffer_residue_num=1,
+                             max_complexes_per_structure=2, merge_clusters=2)
+    assert len(dm) == 1  # 2 clusters merged into one slot
+    names = {dm.get(0).name[:4] for _ in range(20)}
+    assert len(names) == 2  # the merged slot reaches both clusters
+
+
+def test_full_moad_blacklist_loaded():
+    """The reference's full 1554-entry MOAD ligand blacklist ships as a data
+    asset (reference data/preprocess_PDB.py black_list) and filters
+    extraction by default."""
+    bl = preprocess_pdb.load_moad_blacklist()
+    assert len(bl) == 1554
+    for name in ("ATP", "ADP", "GOL", "HOH" if "HOH" in bl else "SO4"):
+        assert name in bl
