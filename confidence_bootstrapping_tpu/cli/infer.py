@@ -119,6 +119,9 @@ def get_parser():
     p.add_argument("--save_visualisation", action="store_true",
                    help="write reverse-diffusion trajectory PDBs per pose (reference "
                         "inference.py:436-448 visualization_list)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each pose batch over all local devices (jax.sharding "
+                        "Mesh; params replicated, GSPMD splits the sampler)")
     p.add_argument("--out_dir", default="results/eval")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--esm_embeddings_path", default=None)
@@ -205,6 +208,13 @@ def main(argv=None):
 
     model = cfg = variables = None
     cmodel = cvars = None
+    dp_mesh = None
+    if args.data_parallel:
+        from ..parallel import mesh as meshlib
+
+        meshlib.maybe_init_distributed()
+        dp_mesh = meshlib.make_mesh()
+        print(f"data-parallel sampling over {dp_mesh.devices.size} devices")
     # an all-atom confidence model needs receptor-atom graphs in every batch
     from .dock import peek_model_config
 
@@ -296,6 +306,10 @@ def main(argv=None):
                         pocket_center=pk,
                         initial_noise_std_proportion=args.initial_noise_std_proportion,
                     )
+                    if dp_mesh is not None and n % dp_mesh.devices.size == 0:
+                        from ..parallel import mesh as meshlib
+
+                        batch = meshlib.shard_batch(dp_mesh, batch)
                     final, traj = sampling.sample_jit(model, variables, batch, k2, cfg, sampler_cfg,
                                                       args.save_visualisation)
                     pos = np.asarray(final.lig_pos)[:, : len(hc.lig_f)]

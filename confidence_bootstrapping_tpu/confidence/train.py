@@ -60,6 +60,27 @@ def _accuracy(pred, y, rmsd_prediction):
     return jnp.mean(((pred > 0) == (y > 0.5)).astype(jnp.float32))
 
 
+def _maybe_compact(model, batch):
+    """Crop + compact the receptor view before the forward when the model
+    crops — the reference TRAINS the confidence model on subgraphed
+    complexes (confidence/dataset.py:376-377 crops before every forward),
+    so the embedding phase must also see the cropped graph. Jittable; the
+    compacted buckets are the model config's (crop_res_cap, crop_atom_cap)."""
+    c = model.cfg
+    if (
+        getattr(c, "all_atoms", False)
+        and c.crop_beyond is not None
+        and c.crop_res_cap > 0
+        and c.crop_atom_cap > 0
+        and batch.atom_f is not None
+        and batch.rec_pos.shape[1] > c.crop_res_cap
+    ):
+        from ..models.all_atom_model import compact_crop
+
+        batch, _, _ = compact_crop(batch, None, float(c.crop_beyond), c.crop_res_cap, c.crop_atom_cap)
+    return batch
+
+
 def make_confidence_train_step(
     model,
     cfg: TrainConfig,
@@ -80,6 +101,7 @@ def make_confidence_train_step(
     @jax.jit
     def step(state: TrainState, batch, labels, key):
         labels_d = _normalize_labels(labels)
+        batch = _maybe_compact(model, batch)
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -129,6 +151,7 @@ def make_confidence_eval_step(model, rmsd_prediction: bool = False, atom_confide
     @jax.jit
     def step(state: TrainState, batch, labels):
         labels_d = _normalize_labels(labels)
+        batch = _maybe_compact(model, batch)
         out = model.apply({"params": state.params, "batch_stats": state.batch_stats}, batch)
         conf_pred, afloss = (
             _affinity_terms(out, labels_d, parallel) if affinity_prediction

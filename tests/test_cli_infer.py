@@ -94,3 +94,27 @@ def test_infer_moad_split_filter_and_visualisation(tmp_path):
     assert sorted(trajs) == ["traj_0.pdb", "traj_1.pdb"]
     txt = open(os.path.join(out, "visualisation", "aaaa", "traj_0.pdb")).read()
     assert txt.count("MODEL") >= 3  # init + 2 steps
+
+
+def test_infer_data_parallel_matches_single_device(tmp_path):
+    """--data_parallel shards pose batches over the 8-device CPU mesh; the
+    sampler is element-wise over poses so results match the unsharded run."""
+    from confidence_bootstrapping_tpu.cli import infer
+
+    data = tmp_path / "data"
+    _write_toy_complex_dir(str(data), "aaaa", seed=0, n_res=10)
+    score_dir = _model_dir(
+        str(tmp_path / "score"),
+        ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                         lm_embedding_dim=0, dropout=0.0),
+    )
+    outs = []
+    for tag, extra in (("single", []), ("dp", ["--data_parallel"])):
+        out = str(tmp_path / f"out_{tag}")
+        infer.main([
+            "--data_dir", str(data), "--out_dir", out, "--model_dir", score_dir,
+            "--samples_per_complex", "8", "--inference_steps", "2", "--batch_size", "8",
+            "--seed", "3",
+        ] + extra)
+        outs.append(np.load(os.path.join(out, "rmsds.npy")))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-4)

@@ -303,3 +303,34 @@ def test_transfer_matching_variables_unit():
     np.testing.assert_array_equal(out["params"]["a"]["w"], 1.0)
     np.testing.assert_array_equal(out["params"]["head"]["w"], 0.0)  # head stays fresh
     np.testing.assert_array_equal(out["batch_stats"]["a"]["mean"], 1.0)
+
+
+def test_confidence_training_with_crop_compaction():
+    """When the model crops (crop_beyond) and the receptor bucket exceeds
+    crop_res_cap, the train/eval steps compact the receptor view before the
+    forward — the reference trains on subgraphed complexes
+    (confidence/dataset.py:376-377). Losses stay finite and params move."""
+    from confidence_bootstrapping_tpu.models.factory import get_model
+
+    targets = [_synthetic_target("AAAA_1", 0, all_atoms=True)]
+    cfg = ScoreModelConfig(
+        ns=8, nv=2, sh_lmax=2, num_conv_layers=2, num_prot_emb_layers=1,
+        lm_embedding_dim=16, dropout=0.0, all_atoms=True, confidence_mode=True,
+        crop_beyond=8.0, crop_res_cap=8, crop_atom_cap=16,
+    )
+    model = get_model(cfg)
+    pos = np.stack([targets[0].hc.orig_lig_pos + 0.1, targets[0].hc.orig_lig_pos + 8.0])
+    rmsds = np.sqrt(((pos - targets[0].hc.orig_lig_pos[None]) ** 2).sum(-1).mean(-1))
+    cache = {"AAAA_1": (pos.astype(np.float32), rmsds)}
+    ds = cdataset.FilteringDataset(targets, cache, rmsd_classification_upper=None, balance=False, seed=0)
+    batch0, _ = ds.sample_batch(cache, 2)
+    assert batch0.rec_pos.shape[1] > cfg.crop_res_cap  # compaction will trigger
+    variables = model.init(jax.random.PRNGKey(0), batch0)
+    state, history = ctrain.train_confidence(
+        model, variables, ds, cache, TrainConfig(lr=1e-3, batch_size=2), n_epochs=2,
+        batches_per_epoch=2, key=jax.random.PRNGKey(3), val_dataset=ds, val_cache=cache,
+        log=lambda s: None,
+    )
+    assert np.isfinite(history[-1]["train"]["loss"])
+    assert np.isfinite(history[-1]["val"]["loss"])
+    assert history[0]["train"]["loss"] != history[-1]["train"]["loss"]
