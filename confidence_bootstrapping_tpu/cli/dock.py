@@ -31,6 +31,10 @@ from ..train import checkpoints
 def get_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--protein_path", default=None)
+    p.add_argument("--protein_sequence", default=None,
+                   help="sequence-only input: the structure is predicted with ESMFold "
+                        "(reference dock.py + utils/inference_utils.py:201-212; needs the "
+                        "`esm` package)")
     p.add_argument("--ligand", default=None, help="ligand .sdf/.mol2 path (SMILES needs rdkit)")
     p.add_argument("--protein_ligand_csv", default=None,
                    help="CSV with complex_name,protein_path,ligand_path columns (reference dock.py batch mode)")
@@ -135,15 +139,33 @@ def main(argv=None):
         with open(args.protein_ligand_csv) as f:
             for row in csv.DictReader(f):
                 sub = argparse.Namespace(**vars(args))
-                sub.protein_path = row["protein_path"]
+                sub.protein_path = row.get("protein_path") or None
+                sub.protein_sequence = row.get("protein_sequence") or None
                 sub.ligand = row.get("ligand_path") or row.get("ligand_description")
                 sub.complex_name = row.get("complex_name") or None
                 sub.protein_ligand_csv = None
+                _resolve_protein(sub)
                 results[sub.complex_name or sub.ligand] = dock_one(sub)
         return results
-    if not (args.protein_path and args.ligand):
-        raise SystemExit("provide --protein_path + --ligand, or --protein_ligand_csv")
+    if not ((args.protein_path or args.protein_sequence) and args.ligand):
+        raise SystemExit("provide --protein_path/--protein_sequence + --ligand, or --protein_ligand_csv")
+    _resolve_protein(args)
     return dock_one(args)
+
+
+def _resolve_protein(args):
+    """Sequence-only input: predict the structure with ESMFold and dock
+    against the prediction (reference utils/inference_utils.py:201-212)."""
+    if args.protein_path or not args.protein_sequence:
+        return
+    from ..data.esm_prep import predict_structure
+
+    name = args.complex_name or "complex"
+    os.makedirs(os.path.join(args.out_dir, name), exist_ok=True)
+    args.protein_path = predict_structure(
+        args.protein_sequence, os.path.join(args.out_dir, name, f"{name}_esmfold.pdb")
+    )
+    print(f"ESMFold prediction written to {args.protein_path}")
 
 
 def dock_one(args):

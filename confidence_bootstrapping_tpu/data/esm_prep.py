@@ -151,3 +151,24 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def predict_structure(sequence: str, out_pdb: str) -> str:
+    """ESMFold structure prediction for sequence-only docking inputs
+    (reference utils/inference_utils.py:201-212 esm.pretrained.esmfold_v1).
+    Requires the ``esm`` package and its weights (network); raises a clear
+    error otherwise so callers can ask for a structure file instead."""
+    try:
+        import esm  # type: ignore
+        import torch
+    except ImportError as e:
+        raise RuntimeError(
+            "structure prediction from a protein sequence requires the `esm` "
+            "package (ESMFold); install it or provide --protein_path"
+        ) from e
+    model = esm.pretrained.esmfold_v1().eval()
+    with torch.no_grad():
+        pdb_str = model.infer_pdb(sequence)
+    with open(out_pdb, "w") as f:
+        f.write(pdb_str)
+    return out_pdb

@@ -366,3 +366,16 @@ def test_full_moad_blacklist_loaded():
     assert len(bl) == 1554
     for name in ("ATP", "ADP", "GOL", "HOH" if "HOH" in bl else "SO4"):
         assert name in bl
+
+
+def test_protein_sequence_input_is_gated():
+    """Sequence-only docking predicts the structure with ESMFold (reference
+    utils/inference_utils.py:201-212); without the `esm` package the path
+    fails with an actionable error instead of an ImportError deep inside."""
+    import pytest
+
+    from confidence_bootstrapping_tpu.cli import dock as dock_cli
+
+    with pytest.raises((RuntimeError, SystemExit)) as e:
+        dock_cli.main(["--protein_sequence", "MKT", "--ligand", "CCO", "--out_dir", "/tmp/seq_test"])
+    assert "esm" in str(e.value).lower() or "protein_path" in str(e.value)
