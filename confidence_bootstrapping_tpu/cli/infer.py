@@ -46,6 +46,10 @@ def get_parser():
     p.add_argument("--moad_splits_pkl", default=None,
                    help="MOAD_generalisation_splits.pkl: evaluate only the --split clusters")
     p.add_argument("--cluster_to_ligands_pkl", default=None)
+    p.add_argument("--no_rec_overlap_names", default=None,
+                   help="file of complex names whose receptors are unseen in training; "
+                        "metrics for that subset are reported with a no_overlap_ prefix "
+                        "(reference inference.py:562,596-605)")
     p.add_argument("--model_dir", default=None)
     p.add_argument("--ckpt", default="last_model")
     p.add_argument("--confidence_model_dir", default=None)
@@ -398,6 +402,19 @@ def main(argv=None):
     m = metrics_mod.performance_metrics(
         rmsds, centroids, confidences if cmodel is not None else None, self_d, run_times
     )
+    if args.no_rec_overlap_names:
+        # second metric pass over the receptor-unseen subset (reference
+        # inference.py:562,596-605 names_no_rec_overlap; BASELINE.json's
+        # no_overlap_run_times_mean is the throughput hook)
+        keep = set(open(args.no_rec_overlap_names).read().split())
+        sel = np.asarray([n in keep for n in names])
+        if sel.any():
+            m.update(metrics_mod.performance_metrics(
+                rmsds[sel], centroids[sel],
+                confidences[sel] if cmodel is not None else None,
+                self_d[sel], run_times[sel], prefix="no_overlap_",
+            ))
+            m["no_overlap_n_complexes"] = int(sel.sum())
     m["n_complexes"] = len(names)
     m["failures"] = failures
     m["poses_per_sec"] = round(float(len(names) * N / max(run_times.sum(), 1e-9)), 3)

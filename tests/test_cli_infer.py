@@ -118,3 +118,31 @@ def test_infer_data_parallel_matches_single_device(tmp_path):
         ] + extra)
         outs.append(np.load(os.path.join(out, "rmsds.npy")))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-4)
+
+
+def test_infer_no_rec_overlap_subset_metrics(tmp_path):
+    """--no_rec_overlap_names reports a second metric pass over the
+    receptor-unseen subset with the no_overlap_ prefix (reference
+    inference.py:596-605)."""
+    from confidence_bootstrapping_tpu.cli import infer
+
+    data = tmp_path / "data"
+    _write_toy_complex_dir(str(data), "aaaa", seed=0, n_res=10)
+    _write_toy_complex_dir(str(data), "bbbb", seed=1, n_res=10)
+    (tmp_path / "no_overlap.txt").write_text("bbbb\n")
+    score_dir = _model_dir(
+        str(tmp_path / "score"),
+        ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                         lm_embedding_dim=0, dropout=0.0),
+    )
+    out = str(tmp_path / "out")
+    infer.main([
+        "--data_dir", str(data), "--out_dir", out, "--model_dir", score_dir,
+        "--samples_per_complex", "2", "--inference_steps", "2", "--batch_size", "2",
+        "--no_rec_overlap_names", str(tmp_path / "no_overlap.txt"),
+    ])
+    with open(os.path.join(out, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["no_overlap_n_complexes"] == 1
+    assert "no_overlap_run_times_mean" in m
+    assert "no_overlap_rmsds_below_2" in m
