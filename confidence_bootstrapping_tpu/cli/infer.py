@@ -46,6 +46,9 @@ def get_parser():
     p.add_argument("--moad_splits_pkl", default=None,
                    help="MOAD_generalisation_splits.pkl: evaluate only the --split clusters")
     p.add_argument("--cluster_to_ligands_pkl", default=None)
+    p.add_argument("--no_model", action="store_true",
+                   help="random-pose baseline: evaluate the randomized initialization "
+                        "without running the score model (reference inference.py --no_model)")
     p.add_argument("--no_rec_overlap_names", default=None,
                    help="file of complex names whose receptors are unseen in training; "
                         "metrics for that subset are reported with a no_overlap_ prefix "
@@ -314,10 +317,15 @@ def main(argv=None):
                         from ..parallel import mesh as meshlib
 
                         batch = meshlib.shard_batch(dp_mesh, batch)
-                    final, traj = sampling.sample_jit(model, variables, batch, k2, cfg, sampler_cfg,
-                                                      args.save_visualisation)
+                    if args.no_model:
+                        # random-pose baseline (reference inference.py --no_model):
+                        # score the randomized initialization without denoising
+                        final, traj = batch, None
+                    else:
+                        final, traj = sampling.sample_jit(model, variables, batch, k2, cfg, sampler_cfg,
+                                                          args.save_visualisation)
                     pos = np.asarray(final.lig_pos)[:, : len(hc.lig_f)]
-                    if args.save_visualisation:
+                    if args.save_visualisation and traj is not None:
                         tr = np.concatenate([np.asarray(batch.lig_pos)[None], np.asarray(traj)], axis=0)
                         L = len(hc.lig_f)
                         vis_dir = os.path.join(args.out_dir, "visualisation", name)

@@ -146,3 +146,26 @@ def test_infer_no_rec_overlap_subset_metrics(tmp_path):
     assert m["no_overlap_n_complexes"] == 1
     assert "no_overlap_run_times_mean" in m
     assert "no_overlap_rmsds_below_2" in m
+
+
+def test_infer_no_model_baseline(tmp_path):
+    """--no_model evaluates the randomized initialization without denoising
+    (reference inference.py --no_model baseline)."""
+    from confidence_bootstrapping_tpu.cli import infer
+
+    data = tmp_path / "data"
+    _write_toy_complex_dir(str(data), "aaaa", seed=0, n_res=10)
+    score_dir = _model_dir(
+        str(tmp_path / "score"),
+        ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                         lm_embedding_dim=0, dropout=0.0),
+    )
+    out = str(tmp_path / "out")
+    infer.main([
+        "--data_dir", str(data), "--out_dir", out, "--model_dir", score_dir,
+        "--samples_per_complex", "2", "--inference_steps", "2", "--batch_size", "2",
+        "--no_model",
+    ])
+    with open(os.path.join(out, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["n_complexes"] == 1 and m["failures"] == 0
