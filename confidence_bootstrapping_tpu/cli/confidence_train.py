@@ -75,6 +75,12 @@ def get_parser():
     p.add_argument("--batches_per_epoch", type=int, default=100)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--test", action="store_true",
+                   help="evaluation-only: sweep confidence accuracy over reverse-diffusion "
+                        "steps 0..T on the val targets (reference confidence_train.py "
+                        "--no_train/test(), :451-486) and write trajectory_sweep.json")
+    p.add_argument("--ckpt", default="last_model",
+                   help="checkpoint (in --workdir) evaluated by --test")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -218,6 +224,27 @@ def main(argv=None):
         affinities=affinities, parallel=args.parallel,
     )
     print("train set:", ds.statistics())
+
+    if args.test:
+        # evaluation-only: confidence accuracy along the reverse-diffusion
+        # trajectory, step 0..T (reference confidence_train.py:451-486)
+        import json
+
+        example_c = replicate_complex(val_targets[0].padded, 1).set_time(0.0, 0.0, 0.0)
+        cmodel, _, cvars = load_or_init_model(args.workdir, args.ckpt, example_c, cfg)
+        key, k = jax.random.split(key)
+        sweep = ctrain.trajectory_sweep(
+            cmodel, cvars, score_model, score_vars, val_targets, score_cfg, k,
+            inference_steps=args.inference_steps, samples=args.samples_per_complex,
+        )
+        out = os.path.join(args.workdir, "trajectory_sweep.json")
+        with open(out, "w") as f:
+            json.dump(sweep, f, indent=1)
+        for row in sweep:
+            print(f"step {row['step']:3d}: acc {row['accuracy']:.3f}  "
+                  f"mean_rmsd {row['mean_rmsd']:.2f}  mean_score {row['mean_score']:.3f}")
+        print("wrote", out)
+        return sweep
 
     tcfg = TrainConfig(lr=args.lr, batch_size=args.batch_size)
     state, history = ctrain.train_confidence(

@@ -334,3 +334,43 @@ def test_confidence_training_with_crop_compaction():
     assert np.isfinite(history[-1]["train"]["loss"])
     assert np.isfinite(history[-1]["val"]["loss"])
     assert history[0]["train"]["loss"] != history[-1]["train"]["loss"]
+
+
+def test_confidence_train_cli_test_mode(tmp_path):
+    """--test sweeps confidence accuracy over the reverse-diffusion steps on
+    the val targets and writes trajectory_sweep.json (reference
+    confidence_train.py test(), :451-486)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_datasets import _write_toy_complex_dir
+
+    from confidence_bootstrapping_tpu.cli import confidence_train as cli
+    from confidence_bootstrapping_tpu.config import save_yaml
+    from confidence_bootstrapping_tpu.train import checkpoints as ckpt_mod
+
+    data = tmp_path / "data"
+    _write_toy_complex_dir(str(data), "aaaa", seed=0, n_res=10)
+    score_dir = tmp_path / "score"
+    os.makedirs(score_dir)
+    save_yaml(ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                               lm_embedding_dim=0, dropout=0.0),
+              os.path.join(score_dir, ckpt_mod.CONFIG_NAME))
+    wd = str(tmp_path / "wd")
+    os.makedirs(wd)
+    # confidence config present but no weights -> random init with a warning
+    save_yaml(ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                               lm_embedding_dim=0, dropout=0.0, all_atoms=True,
+                               confidence_mode=True),
+              os.path.join(wd, ckpt_mod.CONFIG_NAME))
+    sweep = cli.main([
+        "--data_dir", str(data), "--cache_path", str(tmp_path / "cache"),
+        "--workdir", wd, "--original_model_dir", str(score_dir),
+        "--samples_per_complex", "2", "--inference_steps", "2", "--test",
+    ])
+    assert len(sweep) == 3  # steps 0..2
+    with open(os.path.join(wd, "trajectory_sweep.json")) as f:
+        rows = json.load(f)
+    assert all(np.isfinite(r["mean_rmsd"]) for r in rows)
