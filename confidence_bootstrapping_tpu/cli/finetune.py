@@ -45,7 +45,10 @@ def get_parser():
     # key CB flags (full set via --config yaml)
     p.add_argument("--n_epochs", type=int, default=10)
     p.add_argument("--inference_samples", type=int, default=8)
+    p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--inference_batch_size", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=16, help="finetune train batch size")
+    p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--confidence_cutoff", type=float, default=-4.0)
     p.add_argument("--cb_inference_freq", type=int, default=5)
     p.add_argument("--initial_iterations", type=int, default=5)
@@ -86,7 +89,10 @@ def main(argv=None):
         cb_cluster=args.cb_cluster or "",
         n_epochs=args.n_epochs,
         inference_samples=args.inference_samples,
+        inference_steps=args.inference_steps,
         inference_batch_size=args.inference_batch_size,
+        batch_size=args.batch_size,
+        lr=args.lr,
         confidence_cutoff=args.confidence_cutoff,
         cb_inference_freq=args.cb_inference_freq,
         initial_iterations=args.initial_iterations,
@@ -120,7 +126,13 @@ def main(argv=None):
         matching=not args.no_matching, matching_tries=args.matching_tries,
         matching_popsize=args.matching_popsize, matching_maxiter=args.matching_maxiter,
     )
-    ds = ComplexDataset(entries, cache_dir=args.cache_path, **matching_kwargs)
+    # an all-atom confidence (filtering) model needs receptor-atom graphs in
+    # the rollout batches — the pretrained confidence arch is all_atoms
+    from .dock import peek_model_config
+
+    conf_cfg = peek_model_config(args.confidence_model_dir) if args.confidence_model_dir else None
+    need_atoms = bool(conf_cfg is not None and conf_cfg.all_atoms)
+    ds = ComplexDataset(entries, cache_dir=args.cache_path, all_atoms=need_atoms, **matching_kwargs)
     lm = ds.lm_dim()
     targets = []
     for hc in ds.complexes:

@@ -111,3 +111,44 @@ def test_cb_loop_oracle():
     assert history[0]["buffer"]["size"] > 0
     assert np.isfinite(history[-1]["train"]["loss"])
     assert int(state.step) > 0
+
+
+def test_finetune_cli_with_all_atom_confidence(tmp_path):
+    """CB finetune end-to-end through the CLI with an ALL-ATOM confidence
+    (filtering) model — the pretrained confidence architecture. The targets
+    must be featurized with receptor-atom graphs for the filtering forward
+    (previously only oracle/CG confidence worked through the CLI)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_datasets import _write_toy_complex_dir
+
+    from confidence_bootstrapping_tpu.cli import finetune as cli
+    from confidence_bootstrapping_tpu.config import ScoreModelConfig, save_yaml
+    from confidence_bootstrapping_tpu.train import checkpoints as ckpt_mod
+
+    data = tmp_path / "data"
+    _write_toy_complex_dir(str(data), "aaaa", seed=0, n_res=10)
+
+    conf_dir = tmp_path / "conf"
+    os.makedirs(conf_dir)
+    save_yaml(ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                               lm_embedding_dim=0, dropout=0.0, all_atoms=True,
+                               confidence_mode=True),
+              os.path.join(conf_dir, ckpt_mod.CONFIG_NAME))
+    score_dir = tmp_path / "score"
+    os.makedirs(score_dir)
+    save_yaml(ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                               lm_embedding_dim=0, dropout=0.0),
+              os.path.join(score_dir, ckpt_mod.CONFIG_NAME))
+
+    state, history = cli.main([
+        "--data_dir", str(data), "--cache_path", str(tmp_path / "cache"),
+        "--workdir", str(tmp_path / "wd"),
+        "--model_dir", str(score_dir), "--confidence_model_dir", str(conf_dir),
+        "--n_epochs", "1", "--inference_samples", "2", "--inference_steps", "2",
+        "--confidence_cutoff", "-1000", "--initial_iterations", "1",
+        "--inference_iterations", "1", "--batch_size", "2",
+    ])
+    assert len(history) >= 1
