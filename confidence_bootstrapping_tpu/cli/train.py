@@ -57,6 +57,9 @@ def get_parser():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--train_inference_freq", type=int, default=0,
+                   help="also run the inference benchmark on train complexes every N "
+                        "epochs (overfit check; reference --train_inference_freq)")
     p.add_argument("--num_inference_complexes", type=int, default=10)
     p.add_argument("--inference_samples", type=int, default=4)
     p.add_argument("--inference_steps", type=int, default=20)
@@ -285,6 +288,16 @@ def main(argv=None):
                 args.inference_samples, args.inference_steps, k,
             )
             entry["inference"] = inf
+            if (args.train_inference_freq and (epoch + 1) % args.train_inference_freq == 0
+                    and hasattr(train_ds, "complexes") and hasattr(train_ds, "mols")):
+                # overfit check: the same benchmark on TRAIN complexes
+                # (reference utils/parsing.py --train_inference_freq)
+                key, k = jax.random.split(key)
+                tinf = inference_benchmark(
+                    model, v, train_ds, model_cfg, args.num_inference_complexes,
+                    args.inference_samples, args.inference_steps, k,
+                )
+                entry["train_inference"] = {k_.replace("valinf", "traininf"): v_ for k_, v_ in tinf.items()}
             if inf["valinf_rmsds_lt2"] > best_inf:
                 best_inf = inf["valinf_rmsds_lt2"]
                 save("best_inference_epoch_model", state.params)
