@@ -46,6 +46,10 @@ def get_parser():
     p.add_argument("--moad_splits_pkl", default=None,
                    help="MOAD_generalisation_splits.pkl: evaluate only the --split clusters")
     p.add_argument("--cluster_to_ligands_pkl", default=None)
+    p.add_argument("--protein_file", default="protein_processed",
+                   help="receptor file-name suffix inside complex dirs (reference --protein_file)")
+    p.add_argument("--ligand_file", default="ligand",
+                   help="ligand file-name suffix inside complex dirs (reference --ligand_file)")
     p.add_argument("--no_model", action="store_true",
                    help="random-pose baseline: evaluate the randomized initialization "
                         "without running the score model (reference inference.py --no_model)")
@@ -157,10 +161,12 @@ def discover_complexes(args) -> List[Tuple[str, str, str]]:
             names = [n for n in names if n in keep]
         for n in names:
             d = os.path.join(args.data_dir, n)
-            prot = os.path.join(d, f"{n}_protein_processed.pdb")
-            lig = os.path.join(d, f"{n}_ligand.sdf")
+            # file-name patterns within complex dirs (reference --protein_file
+            # / --ligand_file suffix selectors, inference.py:69,177)
+            prot = os.path.join(d, f"{n}_{args.protein_file}.pdb")
+            lig = os.path.join(d, f"{n}_{args.ligand_file}.sdf")
             if not os.path.exists(lig):
-                lig = os.path.join(d, f"{n}_ligand.mol2")
+                lig = os.path.join(d, f"{n}_{args.ligand_file}.mol2")
             if os.path.exists(prot) and os.path.exists(lig):
                 out.append((n, prot, lig))
     else:
