@@ -69,6 +69,9 @@ def get_parser():
     p.add_argument("--keep_input_conformer", action="store_true",
                    help="start sampling from the input SDF geometry instead of a "
                         "regenerated conformer")
+    p.add_argument("--resample_rdkit", action="store_true",
+                   help="regenerate a fresh conformer per pose instead of one shared "
+                        "(reference inference.py --resample_rdkit)")
     p.add_argument("--cross_cap", type=int, default=0,
                    help="override the per-ligand-atom receptor-neighbor capacity of the "
                         "cross group (0 = model default 48); telemetry is reported as "
@@ -303,6 +306,17 @@ def main(argv=None):
                 n = min(bs, N - start)
                 try:
                     batch = replicate_complex(padded, n)
+                    if args.resample_rdkit:
+                        # a FRESH conformer per pose instead of one shared
+                        # (reference inference.py --resample_rdkit)
+                        from ..data import conformers as conf_mod
+
+                        L = len(hc.lig_f)
+                        newpos = np.asarray(batch.lig_pos).copy()
+                        for i in range(n):
+                            g = conf_mod.generate_conformer(heavy, seed=args.seed * 100003 + start + i)
+                            newpos[i, :L] = g - g.mean(0) + newpos[i, :L].mean(0)
+                        batch = batch.replace(lig_pos=jnp.asarray(newpos))
                     key, k1, k2 = jax.random.split(key, 3)
                     pk = None
                     # pocket mode: init around the pocket center with the small

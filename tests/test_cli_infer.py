@@ -164,7 +164,7 @@ def test_infer_no_model_baseline(tmp_path):
     infer.main([
         "--data_dir", str(data), "--out_dir", out, "--model_dir", score_dir,
         "--samples_per_complex", "2", "--inference_steps", "2", "--batch_size", "2",
-        "--no_model",
+        "--no_model", "--resample_rdkit",
     ])
     with open(os.path.join(out, "metrics.json")) as f:
         m = json.load(f)
