@@ -270,7 +270,7 @@ def train_confidence(
         entry = dict(epoch=epoch, train=meter.summary())
 
         if val_dataset is not None:
-            all_y, all_scores, losses, aflosses, all_affs = [], [], [], [], []
+            all_y, all_scores, losses, aflosses, all_affs, all_t = [], [], [], [], [], []
             for _ in range(max(1, batches_per_epoch // 4)):
                 batch, labels = val_dataset.sample_batch(val_cache, cfg.batch_size)
                 loss, scores, afloss = eval_step(state, batch, labels)
@@ -286,9 +286,20 @@ def train_confidence(
                     y, s = y[..., 0], s[..., 0]
                 all_y.append(y)
                 all_scores.append(s)
+                all_t.append(np.asarray(batch.t_tr))
             labels_, scores_ = np.concatenate(all_y), np.concatenate(all_scores)
             acc = float(np.mean((scores_ > 0) == (labels_ > 0.5)))
             entry["val"] = dict(loss=float(np.mean(losses)), accuracy=acc, roc_auc=roc_auc(labels_, scores_))
+            if getattr(val_dataset, "trajectory_sampling", False):
+                # per-diffusion-time accuracy buckets (reference
+                # confidence_train.py:289-363 trajectory-training meters)
+                t_ = np.concatenate(all_t)
+                correct = (scores_ > 0) == (labels_ > 0.5)
+                buckets = np.clip((t_ * 20).astype(int), 0, 20)
+                entry["val"]["per_t_accuracy"] = [
+                    float(correct[buckets == b].mean()) if (buckets == b).any() else None
+                    for b in range(21)
+                ]
             if affinity_prediction:
                 # reference test_epoch reports affinity_rmse (:287, :356) and
                 # the predict-the-mean baseline affinity_mean_mse (:389-391)

@@ -374,3 +374,34 @@ def test_confidence_train_cli_test_mode(tmp_path):
     with open(os.path.join(wd, "trajectory_sweep.json")) as f:
         rows = json.load(f)
     assert all(np.isfinite(r["mean_rmsd"]) for r in rows)
+
+
+def test_trajectory_val_reports_per_t_accuracy(tmp_path):
+    """With trajectory sampling, validation reports per-diffusion-time
+    accuracy buckets (reference confidence_train.py:289-363 t-bucket
+    meters)."""
+    targets = [_synthetic_target("AAAA_1", 0)]
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), replicate_complex(targets[0].padded, 1))
+    cache = cdataset.generate_filtering_cache(
+        model, variables, targets, jax.random.PRNGKey(1), SMALL_CFG,
+        samples_per_complex=2, inference_steps=3, cache_path=str(tmp_path),
+        cache_id="t", trajectory=True,
+    )
+    cmodel = TensorProductScoreModel(
+        ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                         lm_embedding_dim=16, dropout=0.0, confidence_mode=True))
+    ds = cdataset.FilteringDataset(
+        targets, cache, rmsd_classification_upper=None, balance=False,
+        trajectory_sampling=True, seed=0,
+    )
+    batch0, _ = ds.sample_batch(cache, 4)
+    cvars = cmodel.init(jax.random.PRNGKey(0), batch0)
+    _, history = ctrain.train_confidence(
+        cmodel, cvars, ds, cache, TrainConfig(lr=1e-3, batch_size=4), n_epochs=1,
+        batches_per_epoch=4, key=jax.random.PRNGKey(3), val_dataset=ds, val_cache=cache,
+        log=lambda s: None,
+    )
+    per_t = history[-1]["val"]["per_t_accuracy"]
+    assert len(per_t) == 21
+    assert any(v is not None for v in per_t)
