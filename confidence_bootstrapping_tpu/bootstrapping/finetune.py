@@ -116,6 +116,7 @@ def inference_epoch(
         mean_rmsd=float(all_rmsds.mean()) if len(all_rmsds) else 0.0,
         mean_confidence=float(np.mean(all_confidences)) if all_confidences else 0.0,
         failures=n_failures,
+        kept_rmsds=list(kept_rmsds),  # per-pose RMSDs of the confidence-filtered poses
     )
     return kept, metrics
 
@@ -153,6 +154,7 @@ def inference_finetune(
         reset_buffer=cb.reset_buffer,
     )
     history = []
+    filtered_rmsds: list = []  # RMSDs of every confidence-kept pose across the run
 
     for epoch in range(cb.n_epochs):
         t0 = time.time()
@@ -166,6 +168,7 @@ def inference_finetune(
             for it in range(n_iters):
                 key, k = jax.random.split(key)
                 kept, inf_metrics = inference_epoch(model, roll_vars, targets, k, model_cfg, cb, confidence_fn)
+                filtered_rmsds.extend(inf_metrics.pop("kept_rmsds", []))
                 buffer.add_complexes(kept)
                 print(f"epoch {epoch} rollout {it}: kept {inf_metrics['n_kept']}/{inf_metrics['n_sampled']}, "
                       f"rmsds<2A {inf_metrics['rmsds_lt2']:.3f}, buffer {buffer.statistics()['size']}")
@@ -207,5 +210,8 @@ def inference_finetune(
             checkpoints.save_params(os.path.join(workdir, "ema_model.msgpack"), v)
             with open(os.path.join(workdir, "metrics.pkl"), "wb") as f:
                 pickle.dump(history, f)
+            # RMSDs of every confidence-filtered pose (reference
+            # finetune_train.py:348-349 --save_final_rmsds)
+            np.save(os.path.join(workdir, "final_filtered_rmsds.npy"), np.asarray(filtered_rmsds))
 
     return state, history
