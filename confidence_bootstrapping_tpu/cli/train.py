@@ -57,6 +57,8 @@ def get_parser():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--save_model_freq", type=int, default=0,
+                   help="save an epoch{N}_model snapshot every N epochs (reference --save_model_freq)")
     p.add_argument("--train_inference_freq", type=int, default=0,
                    help="also run the inference benchmark on train complexes every N "
                         "epochs (overfit check; reference --train_inference_freq)")
@@ -310,6 +312,9 @@ def main(argv=None):
             best_val = val_metrics["loss"]
             save("best_model", state.params)
             save("best_ema_model", state.ema_params)
+        if args.save_model_freq and (epoch + 1) % args.save_model_freq == 0:
+            # periodic epoch snapshots (reference --save_model_freq)
+            save(f"epoch{epoch}_model", state.params)
         state = scheduler.step(state, val_metrics["loss"])
         save("last_model", state.params)
         checkpoints.save_train_state(args.workdir, state, epoch)
