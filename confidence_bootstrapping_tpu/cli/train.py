@@ -57,6 +57,9 @@ def get_parser():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--inference_secondary_metric", default=None,
+                   help="extra inference metric tracked with its own best-EMA checkpoint "
+                        "(reference --inference_secondary_metric), e.g. valinf_rmsds_lt5")
     p.add_argument("--save_model_freq", type=int, default=0,
                    help="save an epoch{N}_model snapshot every N epochs (reference --save_model_freq)")
     p.add_argument("--train_inference_freq", type=int, default=0,
@@ -259,6 +262,7 @@ def main(argv=None):
             print(f"wandb unavailable ({type(e).__name__}); continuing without it")
 
     best_val, best_inf, bad_epochs = np.inf, -np.inf, 0
+    best_secondary = -np.inf
     history = []
     for epoch in range(start_epoch, args.n_epochs):
         t0 = time.time()
@@ -307,6 +311,12 @@ def main(argv=None):
                 bad_epochs = 0
             else:
                 bad_epochs += 1
+            if args.inference_secondary_metric and args.inference_secondary_metric in inf:
+                # secondary-metric EMA checkpoint (reference train.py:119-123)
+                sv = inf[args.inference_secondary_metric]
+                if sv > best_secondary:
+                    best_secondary = sv
+                    save("best_ema_secondary_epoch_model", state.ema_params)
 
         if val_metrics["loss"] < best_val:
             best_val = val_metrics["loss"]
