@@ -31,7 +31,29 @@ import numpy as np
 
 A100_REFERENCE_POSES_PER_SEC = 2.0
 
+def _wait_for_backend(attempts: int = 6, delay_s: int = 60):
+    """The axon TPU tunnel occasionally drops; retry device discovery so a
+    transient outage doesn't void the round's measurement. Each probe runs
+    in a SUBPROCESS because a failed in-process jax backend init is sticky."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=600 if i == 0 else 240,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass  # device discovery hung — the tunnel is down
+        print(f"bench: backend probe {i + 1}/{attempts} failed; retrying in {delay_s}s", file=sys.stderr)
+        time.sleep(delay_s)
+    return False
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     from confidence_bootstrapping_tpu.config import SamplerConfig, ScoreModelConfig
