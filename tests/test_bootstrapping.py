@@ -152,3 +152,51 @@ def test_finetune_cli_with_all_atom_confidence(tmp_path):
         "--inference_iterations", "1", "--batch_size", "2",
     ])
     assert len(history) >= 1
+
+
+def test_bootstrap_gen_cli_and_training_mix(tmp_path):
+    """The offline-bootstrapping workflow end-to-end: generate the filtered
+    pose pickle through the CLI (reference bootstrapping/bootstrapping.py
+    cache pipeline), then mix it into training via
+    train --add_bootstrapping_dataset."""
+    import os
+    import pickle as pkl
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_datasets import _write_toy_complex_dir
+
+    from confidence_bootstrapping_tpu.cli import bootstrap_gen, train as train_cli
+    from confidence_bootstrapping_tpu.config import ScoreModelConfig, save_yaml
+    from confidence_bootstrapping_tpu.train import checkpoints as ckpt_mod
+
+    data = tmp_path / "data"
+    _write_toy_complex_dir(str(data), "aaaa", seed=0, n_res=10)
+    score_dir = tmp_path / "score"
+    os.makedirs(score_dir)
+    save_yaml(ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                               lm_embedding_dim=0, dropout=0.0),
+              os.path.join(score_dir, ckpt_mod.CONFIG_NAME))
+
+    kept = bootstrap_gen.main([
+        "--data_dir", str(data), "--cache_path", str(tmp_path / "cache"),
+        "--model_dir", str(score_dir), "--samples_per_target", "2",
+        "--inference_steps", "2", "--confidence_cutoff", "-1",
+    ])
+    out = tmp_path / "cache" / "complexes_id1.pkl"
+    assert out.exists()
+    with open(out, "rb") as f:
+        assert len(pkl.load(f)) == len(kept) == 2
+
+    cfgfile = tmp_path / "tiny.yml"
+    cfgfile.write_text(yaml.dump(dict(ns=8, nv=2, num_conv_layers=1,
+                                      num_prot_emb_layers=1, lm_embedding_dim=0, dropout=0.0)))
+    _, hist = train_cli.main([
+        "--data_dir", str(data), "--cache_path", str(tmp_path / "cache"),
+        "--workdir", str(tmp_path / "wd"), "--config", str(cfgfile),
+        "--batch_size", "2", "--n_epochs", "1", "--val_inference_freq", "0",
+        "--add_bootstrapping_dataset", str(out),
+    ])
+    assert np.isfinite(hist[-1]["train"]["loss"])
