@@ -31,7 +31,7 @@ import numpy as np
 
 A100_REFERENCE_POSES_PER_SEC = 2.0
 
-def _wait_for_backend(attempts: int = 6, delay_s: int = 60):
+def _wait_for_backend(attempts: int = 4, delay_s: int = 45):
     """The axon TPU tunnel occasionally drops; retry device discovery so a
     transient outage doesn't void the round's measurement. Each probe runs
     in a SUBPROCESS because a failed in-process jax backend init is sticky."""
@@ -41,7 +41,7 @@ def _wait_for_backend(attempts: int = 6, delay_s: int = 60):
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=600 if i == 0 else 240,
+                capture_output=True, timeout=300 if i == 0 else 120,
             )
             if r.returncode == 0:
                 return True
