@@ -413,3 +413,80 @@ def test_convert_state_dict_dispatch_and_cli(tmp_path):
     model2, cfg2, vars2 = load_or_init_model(str(out_dir), "last_model", batch)
     out2 = model2.apply(vars2, batch)
     np.testing.assert_allclose(np.asarray(out2.tr_pred), np.asarray(want.tr_pred), rtol=1e-5, atol=1e-6)
+
+
+def test_reference_manifests_fully_classified():
+    """Every key in the two shipped reference manifests is either consumed
+    by config_from_reference_manifest or a known training/infra flag that
+    cannot affect the compiled forward. Catches silent mistranslation when
+    new manifest keys appear. Also pins the forward-affecting flags the
+    TPU design assumes (kNN-only fixed graphs, Hs removed, no async
+    schedule, no misc atoms, no tp_attention)."""
+    import os
+
+    import pytest
+    import yaml
+
+    from confidence_bootstrapping_tpu.models import factory
+
+    ref = "/root/reference/workdir"
+    if not os.path.isdir(ref):
+        pytest.skip("reference workdir not present")
+
+    consumed = set(factory._DIRECT) | set(factory._INVERTED) | {
+        "tr_sigma_min", "tr_sigma_max", "rot_sigma_min", "rot_sigma_max",
+        "tor_sigma_min", "tor_sigma_max",
+        "esm_embeddings_path", "moad_esm_embeddings_path", "pdbbind_esm_embeddings_path",
+        "pdbsidechain_esm_embeddings_path", "esm_embeddings_model",
+        "rmsd_classification_cutoff", "confidence_mode", "atom_confidence_loss_weight",
+    }
+    # training / data-pipeline / infra flags: no effect on the forward pass
+    ignored = set("""
+        atom_rmsd_classification_cutoff backbone_loss_weight balance batch_size
+        best_model_save_frequency cache_creation_id cache_ids_to_combine cache_path
+        chain_cutoff ckpt combined_training confidence_loss_weight confidence_weight
+        config cudnn_benchmark dataloader_drop_last dataset different_schedules
+        double_val ema_rate enforce_timesplit freeze_params grad_clip
+        high_confidence_threshold include_confidence_prediction inf_pocket_cutoff
+        inf_pocket_knowledge inf_sched_alpha inf_sched_beta inference_earlystop_goal
+        inference_earlystop_metric inference_samples inference_steps limit_complexes
+        lm_embeddings_path log_dir lr lr_start_factor main_metric main_metric_goal
+        matching_maxiter matching_popsize matching_tries max_lig_size max_receptor_size
+        merge_clusters min_ligand_size moad_dir moad_esm_embeddings_sequences_path
+        model_save_frequency multiplicity multiplicity_test n_epochs no_train
+        norm_by_sigma num_conformers num_dataloader_workers num_inference_complexes
+        num_workers original_model_dir pdbbind_dir pdbsidechain_dir
+        pdbsidechain_esm_embeddings_sequences_path pin_memory pretrain_ckpt pretrain_dir
+        project protein_file remove_pdbbind remove_promiscuous_targets
+        remove_second_segment restart_ckpt restart_dir restart_lr
+        rmsd_classification_upper rmsd_prediction rot_alpha rot_beta
+        rot_inf_sched_alpha rot_inf_sched_beta rot_sigma_schedule rot_weight run_name
+        samples_per_complex sampling_alpha sampling_beta save_model_freq schedule_k
+        schedule_m scheduler scheduler_patience sidechain_loss_weight sigma_schedule
+        split_test split_train split_val test test_sigma_intervals tor_alpha tor_beta
+        tor_inf_sched_alpha tor_inf_sched_beta tor_sigma_schedule tor_weight
+        torsional_data_dir torsional_split_path tr_only_confidence tr_weight
+        train_inference_freq train_multiplicity train_sampling trajectory_training
+        transfer_weights triple_training unroll_clusters use_ema
+        use_full_size_protein_file use_original_model_cache val_inference_freq
+        val_multiplicity vandermers_buffer_residue_num vandermers_max_dist
+        vandermers_min_contacts w_decay wandb warmup_dur not_full_dataset
+        correct_torsion_sigmas high_confidence_threshold
+    """.split())
+    # forward-affecting flags the design assumes; pinned to the shipped values
+    pinned = dict(
+        asyncronous_noise_schedule=False, include_miscellaneous_atoms=False,
+        not_fixed_knn_radius_graph=False, not_knn_only_graph=False,
+        pocket_mode_graph=False, remove_hs=True, use_old_wrong_embedding_order=False,
+        rot_sigmoid_schedule=False, tp_attention=False,
+    )
+    for name in ("pretrained_score", "pretrained_confidence"):
+        with open(os.path.join(ref, name, "model_parameters.yml")) as f:
+            manifest = yaml.safe_load(f)
+        for k, want in pinned.items():
+            if k in manifest:
+                assert manifest[k] == want, f"{name}: {k}={manifest[k]} violates design assumption {want}"
+        unknown = set(manifest) - consumed - ignored - set(pinned)
+        assert not unknown, f"{name}: unclassified manifest keys {sorted(unknown)}"
+        cfg = factory.config_from_reference_manifest(manifest)
+        assert cfg.ns == manifest["ns"] and cfg.nv == manifest["nv"]
