@@ -57,6 +57,9 @@ def get_parser():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--test_sigma_intervals", type=int, default=1,
+                   help="bucket validation metrics by N diffusion-time intervals "
+                        "(reference --test_sigma_intervals, utils/training.py:242-265)")
     p.add_argument("--inference_secondary_metric", default=None,
                    help="extra inference metric tracked with its own best-EMA checkpoint "
                         "(reference --inference_secondary_metric), e.g. valinf_rmsds_lt5")
@@ -281,7 +284,8 @@ def main(argv=None):
         state, train_metrics = train_loop.train_epoch(train_step, state, batches, k, grad_mask=grad_mask)
 
         key, k = jax.random.split(key)
-        val_metrics = train_loop.test_epoch(eval_step, state, val_ds.epoch_batches(args.batch_size, rng), k)
+        val_metrics = train_loop.test_epoch(eval_step, state, val_ds.epoch_batches(args.batch_size, rng), k,
+                                            intervals=args.test_sigma_intervals)
         entry = dict(epoch=epoch, train=train_metrics, val=val_metrics, wall=time.time() - t0)
 
         if args.val_inference_freq and (epoch + 1) % args.val_inference_freq == 0:

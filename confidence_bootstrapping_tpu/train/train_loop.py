@@ -249,9 +249,17 @@ class AverageMeter:
 
     def summary(self) -> dict:
         out = {}
+        totals: dict = {}
         for (k, b), s in self.sums.items():
             name = k if self.intervals == 1 else f"{k}_interval{b}"
             out[name] = s / self.counts[(k, b)]
+            ts, tc = totals.get(k, (0.0, 0))
+            totals[k] = (ts + s, tc + self.counts[(k, b)])
+        if self.intervals > 1:
+            # overall means under the plain keys so consumers (schedulers,
+            # early stopping) keep working when bucketing is on
+            for k, (s, c) in totals.items():
+                out[k] = s / c
         return out
 
 
