@@ -57,12 +57,14 @@ def inference_epoch(
     model_cfg: ScoreModelConfig,
     cb: CBConfig,
     confidence_fn: Optional[Callable] = None,
+    dp_mesh=None,
 ) -> Tuple[List[Tuple[dict, str, float]], Dict]:
     """One rollout round over the target complexes.
 
     confidence_fn(target, lig_pos [n, L, 3]) -> confidence [n]; None together
     with oracle_confidence=False keeps every pose with confidence 0.
-    Returns (kept buffer items, metrics dict).
+    dp_mesh: optional jax.sharding Mesh — pose batches shard over its 'data'
+    axis (params replicated). Returns (kept buffer items, metrics dict).
     """
     sampler_cfg = SamplerConfig(inference_steps=cb.inference_steps)
     kept: List[Tuple[dict, str, float]] = []
@@ -74,6 +76,10 @@ def inference_epoch(
         try:
             batch = replicate_complex(target.padded, cb.inference_samples)
             batch = sampling.randomize_position(batch, k1, model_cfg.sigma.tr_sigma_max)
+            if dp_mesh is not None and cb.inference_samples % dp_mesh.devices.size == 0:
+                from ..parallel import mesh as meshlib
+
+                batch = meshlib.shard_batch(dp_mesh, batch)
             final, _ = sampling.sample_jit(model, variables, batch, k2, model_cfg, sampler_cfg)
             L = len(target.hc.lig_f)
             poses = np.asarray(final.lig_pos)[:, :L]
@@ -131,6 +137,7 @@ def inference_finetune(
     confidence_fn: Optional[Callable] = None,
     workdir: Optional[str] = None,
     original_dataset=None,
+    dp_mesh=None,
 ):
     """The full CB loop. Returns (final TrainState, metric history)."""
     tcfg = TrainConfig(
@@ -167,7 +174,8 @@ def inference_finetune(
             inf_metrics = {}
             for it in range(n_iters):
                 key, k = jax.random.split(key)
-                kept, inf_metrics = inference_epoch(model, roll_vars, targets, k, model_cfg, cb, confidence_fn)
+                kept, inf_metrics = inference_epoch(model, roll_vars, targets, k, model_cfg, cb, confidence_fn,
+                                                    dp_mesh=dp_mesh)
                 filtered_rmsds.extend(inf_metrics.pop("kept_rmsds", []))
                 buffer.add_complexes(kept)
                 print(f"epoch {epoch} rollout {it}: kept {inf_metrics['n_kept']}/{inf_metrics['n_sampled']}, "
@@ -189,6 +197,10 @@ def inference_finetune(
                     batch = orig_batches.pop()
                 else:
                     batch = batch_complexes(buffer.sample_batch(cb.batch_size))
+                if dp_mesh is not None and cb.batch_size % dp_mesh.devices.size == 0:
+                    from ..parallel import mesh as meshlib
+
+                    batch = meshlib.shard_batch(dp_mesh, batch)
                 key, k = jax.random.split(key)
                 state, metrics = train_step(state, batch, k)
                 meter.add({m: float(v) for m, v in metrics.items()})

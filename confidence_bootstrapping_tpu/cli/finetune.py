@@ -75,6 +75,8 @@ def get_parser():
     p.add_argument("--matching_tries", type=int, default=1)
     p.add_argument("--matching_popsize", type=int, default=20)
     p.add_argument("--matching_maxiter", type=int, default=20)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard rollout and finetune batches over all local devices")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit_complexes", type=int, default=0)
     return p
@@ -163,9 +165,18 @@ def main(argv=None):
         print(f"keep_original_train: {len(original_dataset)} original complexes mixed in")
         cb = CBConfig(**{**cb_kwargs, "keep_original_train": True})
 
+    dp_mesh = None
+    if args.data_parallel:
+        from ..parallel import mesh as meshlib
+
+        meshlib.maybe_init_distributed()
+        dp_mesh = meshlib.make_mesh()
+        print(f"data-parallel CB loop over {dp_mesh.devices.size} devices")
+
     state, history = ft.inference_finetune(
         model, variables, targets, model_cfg, cb, jax.random.PRNGKey(args.seed),
         confidence_fn=confidence_fn, workdir=args.workdir, original_dataset=original_dataset,
+        dp_mesh=dp_mesh,
     )
     print("CB finetune done;", history[-1])
     return state, history

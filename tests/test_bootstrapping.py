@@ -200,3 +200,36 @@ def test_bootstrap_gen_cli_and_training_mix(tmp_path):
         "--add_bootstrapping_dataset", str(out),
     ])
     assert np.isfinite(hist[-1]["train"]["loss"])
+
+
+def test_finetune_cli_data_parallel(tmp_path):
+    """CB loop with --data_parallel: rollout and finetune batches shard over
+    the 8-device virtual CPU mesh and the loop completes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_datasets import _write_toy_complex_dir
+
+    from confidence_bootstrapping_tpu.cli import finetune as cli
+    from confidence_bootstrapping_tpu.config import ScoreModelConfig, save_yaml
+    from confidence_bootstrapping_tpu.train import checkpoints as ckpt_mod
+
+    data = tmp_path / "data"
+    _write_toy_complex_dir(str(data), "aaaa", seed=0, n_res=10)
+    score_dir = tmp_path / "score"
+    os.makedirs(score_dir)
+    save_yaml(ScoreModelConfig(ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=1,
+                               lm_embedding_dim=0, dropout=0.0),
+              os.path.join(score_dir, ckpt_mod.CONFIG_NAME))
+
+    state, history = cli.main([
+        "--data_dir", str(data), "--cache_path", str(tmp_path / "cache"),
+        "--workdir", str(tmp_path / "wd"), "--model_dir", str(score_dir),
+        "--n_epochs", "1", "--inference_samples", "8", "--inference_steps", "2",
+        "--oracle_confidence", "--confidence_cutoff", "-1000",
+        "--initial_iterations", "1", "--inference_iterations", "1",
+        "--batch_size", "8", "--data_parallel",
+    ])
+    assert len(history) == 1
+    assert history[0]["inference"]["n_kept"] == 8
