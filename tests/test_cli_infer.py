@@ -86,6 +86,9 @@ def test_infer_moad_split_filter_and_visualisation(tmp_path):
         "--moad_splits_pkl", str(tmp_path / "splits.pkl"),
         "--cluster_to_ligands_pkl", str(tmp_path / "c2l.pkl"),
         "--save_visualisation",
+        # exercise the per-manifold schedules + truncation through the CLI
+        "--different_schedules", "--rot_inf_sched_alpha", "2.0",
+        "--actual_steps", "2",
     ])
     with open(os.path.join(out, "metrics.json")) as f:
         m = json.load(f)
