@@ -46,6 +46,9 @@ def get_parser():
     p.add_argument("--moad_splits_pkl", default=None,
                    help="MOAD_generalisation_splits.pkl: evaluate only the --split clusters")
     p.add_argument("--cluster_to_ligands_pkl", default=None)
+    p.add_argument("--cache_path", default=None,
+                   help="featurization cache dir: repeated evaluations reuse the "
+                        "host-side complex processing (reference --cache_path)")
     p.add_argument("--protein_file", default="protein_processed",
                    help="receptor file-name suffix inside complex dirs (reference --protein_file)")
     p.add_argument("--ligand_file", default="ligand",
@@ -240,24 +243,48 @@ def main(argv=None):
     overflow_stats = []
     failures = 0
 
+    def featurize_cached(name, prot_path, lig_path):
+        """Featurize one complex with an idempotent on-disk cache (reference
+        keys preprocessing caches by processing params, moad.py:64-77)."""
+        conformer_mode = "input" if args.keep_input_conformer else "generate"
+        cache_file = None
+        if args.cache_path:
+            import hashlib
+            import pickle
+
+            params = (name, prot_path, lig_path, conformer_mode, args.seed, need_atoms)
+            h = hashlib.sha1(repr(params).encode()).hexdigest()[:16]
+            os.makedirs(args.cache_path, exist_ok=True)
+            cache_file = os.path.join(args.cache_path, f"infer_{name}_{h}.pkl")
+            if os.path.exists(cache_file):
+                with open(cache_file, "rb") as f:
+                    return pickle.load(f)
+        mol = mol_io.read_molecule(lig_path)
+        structure = mol_io.parse_pdb(prot_path)
+        # evaluation protocol: sample from a regenerated conformer so the
+        # crystal ligand's ring pucker / bond geometry can't leak into
+        # the metrics (reference utils/inference_utils.py:227-243);
+        # orig_lig_pos keeps the crystal pose as the RMSD ground truth
+        hc = featurize.build_host_complex(
+            name, mol, structure, conformer_mode=conformer_mode, conformer_seed=args.seed,
+            all_atoms=need_atoms,
+        )
+        heavy = mol.remove_hs()
+        alts = dataset_mod.discover_alt_poses(lig_path, heavy.num_atoms)
+        if alts:
+            hc = hc._replace(alt_orig_lig_pos=np.stack(alts) - hc.orig_center[None, None])
+        if cache_file:
+            import pickle
+
+            tmp = f"{cache_file}.tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump((hc, heavy), f)
+            os.replace(tmp, cache_file)
+        return hc, heavy
+
     for name, prot_path, lig_path in complexes:
         try:
-            mol = mol_io.read_molecule(lig_path)
-            structure = mol_io.parse_pdb(prot_path)
-            # evaluation protocol: sample from a regenerated conformer so the
-            # crystal ligand's ring pucker / bond geometry can't leak into
-            # the metrics (reference utils/inference_utils.py:227-243);
-            # orig_lig_pos keeps the crystal pose as the RMSD ground truth
-            conformer_mode = "input" if args.keep_input_conformer else "generate"
-            hc = featurize.build_host_complex(
-                name, mol, structure, conformer_mode=conformer_mode, conformer_seed=args.seed,
-                all_atoms=need_atoms,
-            )
-            heavy_n = mol.remove_hs().num_atoms
-            alts = dataset_mod.discover_alt_poses(lig_path, heavy_n)
-            if alts:
-                hc = hc._replace(alt_orig_lig_pos=np.stack(alts) - hc.orig_center[None, None])
-            heavy = mol.remove_hs()
+            hc, heavy = featurize_cached(name, prot_path, lig_path)
             bucket = pick_bucket(len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src), len(hc.rec_f),
                                  n_atoms=0 if hc.atom_f is None else len(hc.atom_f), all_atoms=need_atoms)
             padded = pad_complex(hc, bucket, lm_dim=0)

@@ -153,7 +153,8 @@ def test_infer_no_rec_overlap_subset_metrics(tmp_path):
 
 def test_infer_no_model_baseline(tmp_path):
     """--no_model evaluates the randomized initialization without denoising
-    (reference inference.py --no_model baseline)."""
+    (reference inference.py --no_model baseline); --cache_path makes the
+    second run reuse the featurization cache."""
     from confidence_bootstrapping_tpu.cli import infer
 
     data = tmp_path / "data"
@@ -164,11 +165,14 @@ def test_infer_no_model_baseline(tmp_path):
                          lm_embedding_dim=0, dropout=0.0),
     )
     out = str(tmp_path / "out")
-    infer.main([
-        "--data_dir", str(data), "--out_dir", out, "--model_dir", score_dir,
-        "--samples_per_complex", "2", "--inference_steps", "2", "--batch_size", "2",
-        "--no_model", "--resample_rdkit",
-    ])
+    for _ in range(2):  # second run hits the featurization cache
+        infer.main([
+            "--data_dir", str(data), "--out_dir", out, "--model_dir", score_dir,
+            "--samples_per_complex", "2", "--inference_steps", "2", "--batch_size", "2",
+            "--no_model", "--resample_rdkit", "--cache_path", str(tmp_path / "fcache"),
+        ])
     with open(os.path.join(out, "metrics.json")) as f:
         m = json.load(f)
     assert m["n_complexes"] == 1 and m["failures"] == 0
+    import glob
+    assert glob.glob(str(tmp_path / "fcache" / "infer_aaaa_*.pkl"))
