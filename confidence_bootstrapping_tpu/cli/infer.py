@@ -75,6 +75,11 @@ def get_parser():
     p.add_argument("--resample_rdkit", action="store_true",
                    help="regenerate a fresh conformer per pose instead of one shared "
                         "(reference inference.py --resample_rdkit)")
+    p.add_argument("--crop_res_cap", type=int, default=0,
+                   help="override the confidence model's crop-compaction residue bucket "
+                        "(0 = its config value); raise if compact_crop overflow is suspected")
+    p.add_argument("--crop_atom_cap", type=int, default=0,
+                   help="override the confidence model's crop-compaction atom bucket")
     p.add_argument("--cross_cap", type=int, default=0,
                    help="override the per-ligand-atom receptor-neighbor capacity of the "
                         "cross group (0 = model default 48); telemetry is reported as "
@@ -309,7 +314,20 @@ def main(argv=None):
                     cfg = dataclasses.replace(cfg, cross_cap=args.cross_cap)
                     model = _get_model(cfg)
                 if args.confidence_model_dir:
-                    cmodel, _, cvars = load_or_init_model(args.confidence_model_dir, args.confidence_ckpt, batch1)
+                    cmodel, ccfg_, cvars = load_or_init_model(args.confidence_model_dir, args.confidence_ckpt, batch1)
+                    if args.crop_res_cap or args.crop_atom_cap:
+                        # crop-compaction capacity override (params are
+                        # cap-independent; only the module config changes)
+                        import dataclasses
+
+                        from ..models.factory import get_model as _get_model
+
+                        ccfg_ = dataclasses.replace(
+                            ccfg_,
+                            crop_res_cap=args.crop_res_cap or ccfg_.crop_res_cap,
+                            crop_atom_cap=args.crop_atom_cap or ccfg_.crop_atom_cap,
+                        )
+                        cmodel = _get_model(ccfg_)
                 if args.pocket_knowledge and args.different_schedules:
                     # shrink the tr grid so sigma_tr never exceeds pocket_tr_max
                     # (reference inference.py:364-368)
