@@ -31,6 +31,7 @@ from ..data import dataset as dataset_mod
 from ..data.complex_graph import pick_bucket, pad_complex, replicate_complex
 from ..eval import metrics as metrics_mod
 from ..eval import rmsd as rmsd_mod
+from ..train import checkpoints
 from ..sampler import sampling
 from .dock import load_or_init_model
 
@@ -303,8 +304,20 @@ def main(argv=None):
 
                     from ..models.factory import get_model as _get_model
 
+                    if args.model_dir and checkpoints.has_checkpoint(args.model_dir, args.ckpt):
+                        raise SystemExit(
+                            "--old_score_model was passed, but the checkpoint in "
+                            f"{args.model_dir} was saved with the modern architecture "
+                            "(its config lacks old_score_model). Its parameter tree "
+                            "cannot be applied to the legacy module — drop "
+                            "--old_score_model or point --model_dir at a legacy "
+                            "checkpoint (e.g. one produced by `convert`)."
+                        )
                     cfg = dataclasses.replace(cfg, old_score_model=True)
                     model = _get_model(cfg)
+                    # no checkpoint: variables were random-init for the modern
+                    # module — re-init for the legacy one
+                    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch1)
                 if args.cross_cap:
                     import dataclasses
 

@@ -387,7 +387,11 @@ def sample(
     L, 3] position trajectory if requested.
     """
     sched = make_schedules(cfg)
-    if getattr(cfg, "shared_receptor", False):
+    if not hasattr(model, "embed_receptor"):
+        # legacy architectures have no cacheable receptor phase — their
+        # __call__ accepts and ignores rec_cache (models/legacy.py)
+        rec_cache = None
+    elif getattr(cfg, "shared_receptor", False):
         rec_cache = _receptor_cache_shared(model, variables, batch)
     else:
         rec_cache = model.apply(variables, batch, method="embed_receptor")
@@ -438,7 +442,8 @@ def sample_jit(model, variables, batch, key, model_cfg, cfg, return_trajectory=F
 
 
 def score_confidence(conf_model, conf_variables, batch: ComplexBatch, lig_pos=None,
-                     shared_receptor: bool = True, compact: bool = True):
+                     shared_receptor: bool = True, compact: bool = True,
+                     embed_full_receptor: bool = False):
     """Confidence-model scoring of (final) poses at t=0.
 
     batch: the confidence model's graph view of the complexes (possibly
@@ -453,6 +458,17 @@ def score_confidence(conf_model, conf_variables, batch: ComplexBatch, lig_pos=No
     crop_atom_cap) buckets and run the trunk on the small view — the
     reference's subgraph-before-forward crop semantics
     (utils/utils.py:395-420) at a fraction of the full-bucket cost.
+    The crop happens BEFORE the forward (per pose), exactly as in
+    confidence TRAINING (confidence/train.py) and in the reference — so
+    serve-time embeddings never see cross-crop-boundary messages that
+    were absent during training.
+
+    embed_full_receptor: opt-in fast path that embeds the FULL receptor
+    once (shared across poses) and compacts batch + cache only for the
+    trunk. Faster when the embedding phase dominates, but the embeddings
+    then include cross-crop-boundary messages — a train/serve skew — so
+    it is off by default.
+
     NaNs are mapped to -1000 like the reference (sampling.py:265).
     """
     if lig_pos is not None:
@@ -460,6 +476,7 @@ def score_confidence(conf_model, conf_variables, batch: ComplexBatch, lig_pos=No
     b = batch.set_time(0.0, 0.0, 0.0)
     cfg = conf_model.cfg
     kwargs = {}
+    has_cache = hasattr(conf_model, "embed_receptor")
     do_compact = (
         compact
         and getattr(cfg, "all_atoms", False)
@@ -472,18 +489,20 @@ def score_confidence(conf_model, conf_variables, batch: ComplexBatch, lig_pos=No
     if do_compact:
         from ..models.all_atom_model import compact_crop
 
-        if shared_receptor:
-            # embed the full receptor once, then compact batch + cache for
-            # the trunk (the embedding phase sees the uncropped graph — a
-            # documented deviation from the reference, which crops first)
+        if embed_full_receptor and shared_receptor and has_cache:
+            # opt-in: embed the full receptor once, then compact batch +
+            # cache for the trunk (embeddings see the uncropped graph — a
+            # documented deviation from training/the reference)
             cache = _receptor_cache_shared(conf_model, conf_variables, b)
             b, cache, _ = compact_crop(b, cache, float(cfg.crop_beyond), cfg.crop_res_cap, cfg.crop_atom_cap)
             kwargs["rec_cache"] = cache
         else:
-            # reference-exact: crop + compact BEFORE the forward, so the
-            # embedding phase also runs on the subgraph (per pose)
+            # default, training-consistent and reference-exact: crop +
+            # compact BEFORE the forward, so the embedding phase also runs
+            # on the subgraph (per pose; kept sets differ per pose, so the
+            # receptor embedding cannot be shared here)
             b, _, _ = compact_crop(b, None, float(cfg.crop_beyond), cfg.crop_res_cap, cfg.crop_atom_cap)
-    elif shared_receptor:
+    elif shared_receptor and has_cache:
         kwargs["rec_cache"] = _receptor_cache_shared(conf_model, conf_variables, b)
     out = conf_model.apply(conf_variables, b, **kwargs)
     conf = out.confidence

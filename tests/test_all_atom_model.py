@@ -183,3 +183,18 @@ def test_score_confidence_compact_path_runs():
     # and the uncompacted path still works for comparison
     conf_full = sampling.score_confidence(model, variables, batch, compact=False)
     assert np.isfinite(np.asarray(conf_full)).all()
+
+    # the default is crop-FIRST (training-consistent, ADVICE r2 medium):
+    # identical to manually compacting and running a plain forward
+    from confidence_bootstrapping_tpu.models.all_atom_model import compact_crop
+
+    cb, _, _ = compact_crop(batch, None, 8.0, 16, 24)
+    out = model.apply(variables, cb)
+    np.testing.assert_allclose(
+        np.asarray(conf), np.nan_to_num(np.asarray(out.confidence), nan=-1000.0),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # the opt-in embed-full-then-compact fast path still runs
+    conf_fast = sampling.score_confidence(model, variables, batch, embed_full_receptor=True)
+    assert np.isfinite(np.asarray(conf_fast)).all()

@@ -134,3 +134,28 @@ def test_legacy_aa_parallel_affinity():
     assert out.affinity.shape == (2,)
     assert np.isfinite(np.asarray(out.confidence)).all()
     assert np.isfinite(np.asarray(out.affinity)).all()
+
+
+def test_legacy_through_sampler_and_confidence_scoring():
+    """Legacy models must run through sample_jit and score_confidence: the
+    receptor-cache path is gated on the model actually exposing
+    embed_receptor (ADVICE r2 high: infer --old_score_model and converted
+    legacy confidence checkpoints previously crashed with AttributeError)."""
+    import dataclasses
+
+    from confidence_bootstrapping_tpu.config import SamplerConfig
+    from confidence_bootstrapping_tpu.sampler import sampling
+
+    batch = make_random_batch()
+    model, variables, _ = _run(LEGACY_CFG, batch)
+    scfg = SamplerConfig(inference_steps=2)
+    b0 = sampling.randomize_position(batch, jax.random.PRNGKey(0), LEGACY_CFG.sigma.tr_sigma_max)
+    final, _ = sampling.sample_jit(model, variables, b0, jax.random.PRNGKey(1), LEGACY_CFG, scfg)
+    assert np.isfinite(np.asarray(final.lig_pos)).all()
+
+    ccfg = dataclasses.replace(LEGACY_CFG, confidence_mode=True)
+    cmodel = OldTensorProductScoreModel(ccfg)
+    cvars = cmodel.init(jax.random.PRNGKey(2), batch)
+    conf = sampling.score_confidence(cmodel, cvars, batch, lig_pos=final.lig_pos)
+    assert conf.shape == (2,)
+    assert np.isfinite(np.asarray(conf)).all()
