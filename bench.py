@@ -84,6 +84,11 @@ def _measure():
     """Child process: run the measurement on whatever backend JAX_PLATFORMS
     selects and print the result JSON line."""
     import jax
+
+    if os.environ.get("CBT_BENCH_FORCE_CPU"):
+        # the axon sitecustomize force-sets JAX_PLATFORMS=axon; override it
+        # before any backend init or the child hangs on tunnel discovery
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np  # noqa: F401
 
     from confidence_bootstrapping_tpu.runtime import enable_compilation_cache
@@ -134,7 +139,8 @@ def _measure():
             jax.block_until_ready(final.lig_pos)
 
     times = []
-    for i in range(3):
+    n_runs = 3 if backend != "cpu" else 1  # CPU fallback: one timed run fits the window
+    for i in range(n_runs):
         k = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
         final, _ = sampling.sample_jit(model, variables, b0, k, cfg, sampler_cfg)
@@ -177,8 +183,8 @@ def main():
     plans = []
     if tpu_up:
         plans.append(("tpu", env, 240))
-    cpu_env = dict(env, JAX_PLATFORMS="cpu")
-    plans.append(("cpu", cpu_env, 300))
+    cpu_env = dict(env, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="", CBT_BENCH_FORCE_CPU="1")
+    plans.append(("cpu", cpu_env, 480))
 
     for name, child_env, tmo in plans:
         try:

@@ -70,10 +70,15 @@ def inference_epoch(
     kept: List[Tuple[dict, str, float]] = []
     all_rmsds, all_confidences, kept_rmsds = [], [], []
     n_failures = 0
+    # per-phase wall budget of the host<->device choreography (SURVEY §7.3-4):
+    # rollout = batch build + reverse diffusion (np.asarray is the sync point),
+    # rmsd = host-side symmetry RMSD, confidence = confidence-model scoring
+    wall = dict(rollout=0.0, rmsd=0.0, confidence=0.0)
 
     for target in targets[: cb.num_inference_complexes or len(targets)]:
         key, k1, k2 = jax.random.split(key, 3)
         try:
+            t0 = time.time()
             batch = replicate_complex(target.padded, cb.inference_samples)
             batch = sampling.randomize_position(batch, k1, model_cfg.sigma.tr_sigma_max)
             if dp_mesh is not None and cb.inference_samples % dp_mesh.devices.size == 0:
@@ -83,18 +88,23 @@ def inference_epoch(
             final, _ = sampling.sample_jit(model, variables, batch, k2, model_cfg, sampler_cfg)
             L = len(target.hc.lig_f)
             poses = np.asarray(final.lig_pos)[:, :L]
+            wall["rollout"] += time.time() - t0
 
             # symmetry-corrected, min over all valid ground-truth binding
             # poses (reference get_symmetry_rmsd over the orig_pos list)
+            t0 = time.time()
             rmsds = rmsd_mod.symmetry_rmsd(
                 rmsd_mod.ground_truth_poses(target.hc), poses, target.mol.atomic_nums, target.mol.bonds
             )
+            wall["rmsd"] += time.time() - t0
+            t0 = time.time()
             if cb.oracle_confidence:
                 confidences = -rmsds
             elif confidence_fn is not None:
                 confidences = np.asarray(confidence_fn(target, poses))
             else:
                 confidences = np.zeros(len(poses))
+            wall["confidence"] += time.time() - t0
 
             all_rmsds.extend(rmsds.tolist())
             all_confidences.extend(np.atleast_1d(confidences).tolist())
@@ -123,6 +133,9 @@ def inference_epoch(
         mean_confidence=float(np.mean(all_confidences)) if all_confidences else 0.0,
         failures=n_failures,
         kept_rmsds=list(kept_rmsds),  # per-pose RMSDs of the confidence-filtered poses
+        wall_rollout=wall["rollout"],
+        wall_rmsd=wall["rmsd"],
+        wall_confidence=wall["confidence"],
     )
     return kept, metrics
 
@@ -185,6 +198,7 @@ def inference_finetune(
         # batches, reference --keep_original_train finetune_train.py:116-126;
         # batches alternate because bucket shapes must stay uniform per batch)
         train_metrics = {}
+        t_train0 = time.time()
         if len(buffer.complexes) > 0:
             n_batches = max(1, len(buffer) // cb.batch_size)
             meter = train_loop.AverageMeter()
@@ -206,7 +220,8 @@ def inference_finetune(
                 meter.add({m: float(v) for m, v in metrics.items()})
             train_metrics = meter.summary()
 
-        entry = dict(epoch=epoch, buffer=buffer.statistics(), train=train_metrics, wall=time.time() - t0)
+        entry = dict(epoch=epoch, buffer=buffer.statistics(), train=train_metrics,
+                     wall=time.time() - t0, wall_train=time.time() - t_train0)
         if epoch % cb.cb_inference_freq == 0:
             entry["inference"] = inf_metrics
         history.append(entry)

@@ -30,13 +30,31 @@ def maybe_init_distributed() -> bool:
     """
     import os
 
-    if jax.process_count() > 1:
-        return True
     want = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
     if not want:
-        return False
+        # no coordinator requested — safe to touch the backend
+        return jax.process_count() > 1
     try:
-        jax.distributed.initialize()
+        # initialize() must run before ANY backend-initializing jax call
+        # (jax.devices/process_count included), so check for an existing
+        # coordination client without touching the backend
+        from jax._src import distributed as _jdist
+
+        if getattr(_jdist.global_state, "client", None) is not None:
+            return jax.process_count() > 1
+    except ImportError:
+        pass
+    try:
+        # jax.distributed.initialize() only auto-discovers on recognized
+        # clusters (TPU pod metadata, SLURM, OMPI); for the env-var contract
+        # documented above the coordinator/process args must be explicit.
+        num = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            coordinator_address=want,
+            num_processes=int(num) if num is not None else None,
+            process_id=int(pid) if pid is not None else None,
+        )
         return jax.process_count() > 1
     except Exception as e:
         print(f"jax.distributed.initialize failed ({type(e).__name__}: {e}); running single-process")
@@ -68,6 +86,35 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_batch_multiprocess(mesh: Mesh, batch, axis_name: str = "data"):
+    """Multi-controller variant of shard_batch (multi-host over DCN).
+
+    Every process passes the identically-constructed GLOBAL batch; each host
+    contributes only its addressable shards via make_array_from_callback
+    (device_put cannot target non-addressable devices). Works unchanged in
+    single-process runs.
+    """
+    sh = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, batch)
+
+
+def replicate_multiprocess(mesh: Mesh, tree):
+    """Multi-controller variant of replicate: every process passes the same
+    host tree; each host materializes its addressable replicas."""
+    sh = replicated(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
 
 
 # ---------------------------------------------------------------------------

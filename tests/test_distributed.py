@@ -1,0 +1,92 @@
+"""Multi-process (multi-controller) execution: two JAX processes over a
+gRPC coordinator run one data-parallel train step on the score model and
+agree on the loss (SURVEY §5.8 multi-host DCN; parallel/mesh.py
+maybe_init_distributed / shard_batch_multiprocess)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r}); sys.path.insert(0, {tests!r})
+
+from confidence_bootstrapping_tpu.parallel import mesh as meshlib
+
+ok = meshlib.maybe_init_distributed()
+assert ok, "maybe_init_distributed returned False"
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 2  # one CPU device per process, two global
+
+# cache only after distributed init (enable_compilation_cache touches the backend)
+from confidence_bootstrapping_tpu.runtime import enable_compilation_cache
+enable_compilation_cache(os.path.join({repo!r}, ".cache", "jax_compilation"))
+
+from test_score_model import make_random_batch, SMALL_CFG
+from confidence_bootstrapping_tpu.config import TrainConfig
+from confidence_bootstrapping_tpu.models.score_model import TensorProductScoreModel
+from confidence_bootstrapping_tpu.train import train_loop
+
+mesh = meshlib.make_mesh()
+batch = make_random_batch(B=2)  # identical global batch in both processes
+model = TensorProductScoreModel(SMALL_CFG)
+variables = model.init(jax.random.PRNGKey(0), batch)
+state = train_loop.init_train_state(variables, TrainConfig())
+step = train_loop.make_train_step(model, SMALL_CFG, TrainConfig())
+
+gbatch = meshlib.shard_batch_multiprocess(mesh, batch)
+gstate = meshlib.replicate_multiprocess(mesh, state)
+new_state, metrics = step(gstate, gbatch, jax.random.PRNGKey(1))
+loss = float(metrics["loss"])
+print(f"RESULT pid={{jax.process_index()}} procs={{jax.process_count()}} loss={{loss:.6f}}", flush=True)
+jax.distributed.shutdown()
+"""
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER.format(repo=REPO, tests=os.path.join(REPO, "tests")))
+
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+            PALLAS_AXON_POOL_IPS="",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    losses = []
+    for out in outs:
+        line = next(ln for ln in out.splitlines() if ln.startswith("RESULT"))
+        assert "procs=2" in line
+        losses.append(float(line.split("loss=")[1]))
+    assert losses[0] == losses[1]
+    import numpy as np
+
+    assert np.isfinite(losses[0])
