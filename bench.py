@@ -124,7 +124,22 @@ def _measure():
     cfg = ScoreModelConfig(lm_embedding_dim=0)
     model = TensorProductScoreModel(cfg)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-    sampler_cfg = SamplerConfig(inference_steps=steps)
+    # phased receptor compaction (sampler/sampling.py): from step 8
+    # (sigma_tr ~ 2.3, cross cutoff ~ 32 A incl. margin) the receptor
+    # bucket shrinks to the 256 residues nearest any pose's ligand.
+    # HLO-profiled on v5e: conv_rec is 2.11 ms/step/layer at N=256 vs
+    # 6.27 at N=512, while an N=416 "trim" phase showed NO gain (the v4
+    # kernel's per-program cost is flat below powers of two) — so no
+    # step-0 trim. BENCH_PHASES=0 restores the single-phase path.
+    phases = {}
+    N = batch.rec_pos.shape[1]
+    if os.environ.get("BENCH_PHASES", "1") == "1" and backend != "cpu":
+        plan = [(8, 256)]
+        plan = [(s, c) for s, c in plan if c < N]
+        if plan:
+            phases = dict(rec_phase_steps=tuple(s for s, _ in plan),
+                          rec_phase_caps=tuple(c for _, c in plan))
+    sampler_cfg = SamplerConfig(inference_steps=steps, **phases)
 
     key = jax.random.PRNGKey(0)
     b0 = sampling.randomize_position(batch, key, cfg.sigma.tr_sigma_max)
@@ -156,7 +171,17 @@ def _measure():
         peak = next((p for sub, p in PEAK_TFLOPS if sub in kind.lower().replace(" ", "")), None)
         if peak is None:
             peak = next((p for sub, p in PEAK_TFLOPS if sub in kind.lower()), 197.0)
-        run_tflop = CONV_REC_TFLOP_PER_STEP_AT_B32 * (n_poses / 32.0) * steps
+        # per-step conv_rec FLOPs scale with the phase's receptor bucket
+        # (1.16 G-MAC per 32-node program, docs/PERF_NOTES.md); count the
+        # actually-executed work so compaction cannot inflate MFU
+        bounds = list(phases.get("rec_phase_steps", ())) + [steps]
+        caps = list(phases.get("rec_phase_caps", ()))
+        node_steps, n_cur, prev = 0, N, 0
+        for i, cap in enumerate(caps):
+            node_steps += (bounds[i] - prev) * n_cur
+            n_cur, prev = cap, bounds[i]
+        node_steps += (steps - prev) * n_cur
+        run_tflop = CONV_REC_TFLOP_PER_STEP_AT_B32 * (n_poses / 32.0) * (node_steps / (steps * 512.0)) * steps
         mfu = round(run_tflop / dt / peak, 4)
 
     out = {

@@ -151,6 +151,16 @@ class SamplerConfig:
     # randomize_position(pocket_center=...) directly; these knobs are not
     # part of SamplerConfig to keep the jitted sampler free of host state.
     initial_noise_std_proportion: float = 1.0
+    # phased receptor compaction (TPU perf): at each step in rec_phase_steps
+    # shrink the receptor bucket to the matching rec_phase_caps entry,
+    # keeping for every pose the nearest residues within
+    # 3*sigma_tr(step) + 20 + rec_phase_margin of the current ligand. The
+    # reference's per-step crop_beyond rebatching (utils/sampling.py:100-106)
+    # as a fixed-shape mid-scan gather; a boundary at step 0 is an exact
+    # padding trim. Residue-level score models only (ignored otherwise).
+    rec_phase_steps: Tuple[int, ...] = ()
+    rec_phase_caps: Tuple[int, ...] = ()
+    rec_phase_margin: float = 5.0
     # SVGD particle coupling (reference sampling.py:169-218); enabled when
     # svgd_weight_log_0/1 are set
     svgd_weight_log_0: Optional[float] = None

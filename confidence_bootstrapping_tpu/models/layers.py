@@ -452,6 +452,7 @@ class TPConv(nn.Module):
             and self._fused_mode(deterministic) == "ladder1"
             and sh_lmax == 1
             and self.n_edge_features == 3 * ns
+            and lig_attr.shape[1] % 8 == 0  # Mosaic sublane: L-dim slices need 8-alignment
         ):
             return None
         p = self.edge_mlps[group].variables["params"]

@@ -331,6 +331,100 @@ def cross_overflow_stats(batch: ComplexBatch, model_cfg: ScoreModelConfig):
     )
 
 
+def _compact_receptor(batch: ComplexBatch, rec_cache, radius, cap: int):
+    """SHARED-index receptor compaction for phased sampling.
+
+    Keeps the `cap` nearest residues whose min distance to ANY pose's
+    current ligand is < `radius` — ONE index set for the whole pose batch
+    (the reference's per-step ``crop_beyond`` rebatching,
+    utils/sampling.py:100-106 / utils/utils.py:395-420, as a fixed-shape
+    gather; union-over-poses semantics since our batch is B poses of one
+    complex). Remaps the receptor kNN neighbour lists and gathers the
+    cached receptor embeddings (RecCache) along with the batch fields.
+
+    Why shared (HLO-profile-driven): a per-pose [B, cap] gather of the
+    [B, N, K, ns] cached edge embeddings ran at ~130 MB/s on v5e (158 ms
+    at bench shapes — more than the compaction saved). With a shared [cap]
+    index vector the float gathers run as one-hot MXU matmuls (exact
+    copies: bf16 trivially, f32 at precision=HIGHEST) and cost <1 ms.
+
+    Returns (batch, rec_cache) shrunk to N=cap. Residues dropped by the
+    radius cannot influence any pose (the model's cross cutoff masks are
+    per-pose regardless); residues dropped by the capacity cap are always
+    the farthest from every pose (same benign-drop semantics as cross_cap).
+    """
+    from ..ops.graph_builders import pairwise_dist
+
+    B, N = batch.rec_mask.shape
+    cap = min(cap, N)
+    d = jnp.min(
+        jnp.where(batch.lig_mask[:, :, None], pairwise_dist(batch.lig_pos, batch.rec_pos), jnp.inf),
+        axis=1,
+    )  # [B, N] min distance of each residue to each pose's ligand
+    pri = jnp.min(jnp.where(batch.rec_mask & (d < radius), d, jnp.inf), axis=0)  # [N] shared
+    idx = jnp.argsort(pri)[:cap]  # [cap] nearest-to-any-pose kept first
+    selected = jnp.take(pri, idx) < jnp.inf  # [cap]
+
+    # old -> new index map; -1 marks dropped residues
+    new_of_old = jnp.full((N,), -1, jnp.int32).at[idx].set(
+        jnp.where(selected, jnp.arange(cap, dtype=jnp.int32), -1)
+    )
+
+    def take(a):
+        return jnp.take(a, idx, axis=1)
+
+    onehot = (idx[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]) & selected[:, None]
+
+    def take_mm(a):
+        # [B', N, ...] -> [B', cap, ...] as a one-hot MXU matmul: exact for
+        # bf16 at default precision, exact for f32 at HIGHEST (verified)
+        prec = jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+        flat = a.reshape(a.shape[0], N, -1)
+        out = jnp.einsum("cn,bnf->bcf", onehot.astype(a.dtype), flat, precision=prec)
+        return out.reshape((a.shape[0], cap) + a.shape[2:])
+
+    valid = take(batch.rec_mask) & selected[None, :]  # [B, cap]
+    nbr_old = take(batch.rec_nbr)  # [B, cap, KR] values are OLD indices
+    nbr_new = new_of_old[nbr_old]
+    nbr_mask = take(batch.rec_nbr_mask) & (nbr_new >= 0) & valid[..., None]
+    nbr_new = jnp.maximum(nbr_new, 0)
+
+    new_batch = batch.replace(
+        rec_f=take(batch.rec_f),
+        # rec_lm is the one wide float batch field ([B, N, 1280] with ESM
+        # embeddings): route it through the matmul gather like the cache
+        rec_lm=take_mm(batch.rec_lm) if batch.rec_lm.shape[-1] >= 64 else take(batch.rec_lm),
+        rec_pos=take(batch.rec_pos),
+        rec_mask=valid,
+        rec_nbr=nbr_new,
+        rec_nbr_mask=nbr_mask,
+    )
+    new_cache = None
+    if rec_cache is not None:
+        new_cache = rec_cache._replace(
+            rec_attr=take_mm(rec_cache.rec_attr),
+            rec_edge_emb=take_mm(rec_cache.rec_edge_emb),
+            rec_edge_sh=take_mm(rec_cache.rec_edge_sh),
+            rec_edge_mask=take(rec_cache.rec_edge_mask) & nbr_mask,
+        )
+    return new_batch, new_cache
+
+
+def _phase_plan(cfg: SamplerConfig, n: int):
+    """Validated (step, cap) compaction boundaries from the SamplerConfig."""
+    steps = tuple(cfg.rec_phase_steps or ())
+    caps = tuple(cfg.rec_phase_caps or ())
+    if not steps:
+        return ()
+    if len(steps) != len(caps):
+        raise ValueError("rec_phase_steps and rec_phase_caps must have equal length")
+    if list(steps) != sorted(set(steps)) or steps[0] < 0 or steps[-1] >= n:
+        raise ValueError(f"rec_phase_steps must be strictly increasing in [0, {n})")
+    if list(caps) != sorted(set(caps), reverse=True):
+        raise ValueError("rec_phase_caps must be strictly decreasing")
+    return tuple(zip(steps, caps))
+
+
 def _receptors_identical(batch: ComplexBatch) -> jnp.ndarray:
     """Scalar bool: every batch element carries the same receptor.
 
@@ -396,18 +490,50 @@ def sample(
     else:
         rec_cache = model.apply(variables, batch, method="embed_receptor")
 
-    def body(carry, inp):
-        # carry only the moving ligand positions: the rest of the batch
-        # (rec_lm alone is ~80 MB at B=32) is a closed-over scan invariant,
-        # so XLA does not copy it every step.
-        step_idx, k = inp
-        b = batch.replace(lig_pos=carry)
-        nb = reverse_diffusion_step(model, variables, b, rec_cache, k, step_idx, sched, model_cfg, cfg)
-        return nb.lig_pos, (nb.lig_pos if return_trajectory else None)
+    n = num_steps(cfg)
+    keys = jax.random.split(key, n)
+    steps = jnp.arange(n)
 
-    keys = jax.random.split(key, num_steps(cfg))
-    steps = jnp.arange(num_steps(cfg))
-    final_pos, traj = jax.lax.scan(body, batch.lig_pos, (steps, keys))
+    def run_segment(seg_batch, seg_cache, pos, lo: int, hi: int):
+        def body(carry, inp):
+            # carry only the moving ligand positions: the rest of the batch
+            # (rec_lm alone is ~80 MB at B=32) is a closed-over scan
+            # invariant, so XLA does not copy it every step.
+            step_idx, k = inp
+            b = seg_batch.replace(lig_pos=carry)
+            nb = reverse_diffusion_step(model, variables, b, seg_cache, k, step_idx, sched, model_cfg, cfg)
+            return nb.lig_pos, (nb.lig_pos if return_trajectory else None)
+
+        return jax.lax.scan(body, pos, (steps[lo:hi], keys[lo:hi]))
+
+    # phased receptor compaction (rec_phase_steps/rec_phase_caps): as the
+    # translational sigma anneals, the cross cutoff 3*sigma+20 shrinks and
+    # receptor residues far from the ligand can no longer influence the
+    # ligand scores — shrink the receptor bucket mid-trajectory and run the
+    # remaining steps on the compacted view (the trunk's conv_rec cost is
+    # linear in the bucket size; see docs/PERF_NOTES.md). A boundary at step
+    # 0 with sigma_max radius is an exact padding trim.
+    plan = _phase_plan(cfg, n)
+    if plan and rec_cache is not None and batch.atom_f is None:
+        sp = model_cfg.sigma
+        trajs = []
+        pos = batch.lig_pos
+        seg_batch, seg_cache = batch, rec_cache
+        bounds = [s for s, _ in plan] + [n]
+        if plan[0][0] > 0:
+            pos, tr0 = run_segment(seg_batch, seg_cache, pos, 0, plan[0][0])
+            trajs.append(tr0)
+        for i, (s, cap) in enumerate(plan):
+            tr_sigma, _, _ = t_to_sigma(sched.t_tr[s], sched.t_rot[s], sched.t_tor[s], sp)
+            radius = 3.0 * tr_sigma + 20.0 + cfg.rec_phase_margin
+            seg_batch, seg_cache = _compact_receptor(
+                seg_batch.replace(lig_pos=pos), seg_cache, radius, cap)
+            pos, tr_i = run_segment(seg_batch, seg_cache, pos, s, bounds[i + 1])
+            trajs.append(tr_i)
+        traj = jnp.concatenate(trajs, axis=0) if return_trajectory else None
+        return batch.replace(lig_pos=pos), traj
+
+    final_pos, traj = run_segment(batch, rec_cache, batch.lig_pos, 0, n)
     return batch.replace(lig_pos=final_pos), traj
 
 

@@ -171,3 +171,93 @@ def test_sampling_with_actual_steps_and_different_schedules():
                                   return_trajectory=True)
     assert traj.shape == (3,) + batch.lig_pos.shape  # only actual_steps ran
     assert np.isfinite(np.asarray(final.lig_pos)).all()
+
+
+def test_compact_receptor_semantics():
+    """_compact_receptor keeps the shared (union-over-poses) nearest
+    in-radius residues, remaps the kNN lists and gathers the cache
+    consistently (phased compaction, reference per-step crop_beyond
+    rebatching, utils/sampling.py:100-106)."""
+    batch = make_random_batch(B=2, N=24, pad_rec=4, lm_dim=0)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    cache = model.apply(variables, batch, method="embed_receptor")
+    radius, cap = 12.0, 8
+    nb, nc = sampling._compact_receptor(batch, cache, radius, cap)
+    assert nb.rec_pos.shape == (2, cap, 3)
+    assert nc.rec_attr.shape[:2] == (2, cap)
+
+    d = np.linalg.norm(
+        np.asarray(batch.lig_pos)[:, :, None] - np.asarray(batch.rec_pos)[:, None], axis=-1)
+    d = np.where(np.asarray(batch.lig_mask)[:, :, None], d, np.inf).min(1)
+    d = np.where(np.asarray(batch.rec_mask), d, np.inf)
+    d_shared = d.min(0)  # ONE index set: min distance over the pose batch
+    want = sorted(np.where(d_shared < radius)[0], key=lambda i: d_shared[i])[:cap]
+    for b in range(2):
+        kept = np.asarray(nb.rec_mask)[b]
+        got_pos = np.asarray(nb.rec_pos)[b][kept]
+        np.testing.assert_allclose(got_pos, np.asarray(batch.rec_pos)[b][want], atol=0)
+        # cache rows gathered with the same permutation (one-hot matmul
+        # gathers must be exact copies, f32 included)
+        np.testing.assert_allclose(
+            np.asarray(nc.rec_attr)[b][kept], np.asarray(cache.rec_attr)[b][want], atol=0)
+        np.testing.assert_allclose(
+            np.asarray(nc.rec_edge_emb)[b][kept], np.asarray(cache.rec_edge_emb)[b][want], atol=0)
+        # every surviving neighbour slot points at the old neighbour's row
+        old_of_new = {n: o for n, o in enumerate(want)}
+        nbr_new = np.asarray(nb.rec_nbr)[b]
+        nbr_mask = np.asarray(nb.rec_nbr_mask)[b]
+        nbr_old = np.asarray(batch.rec_nbr)[b]
+        for i_new, i_old in enumerate(want):
+            for k in range(nbr_new.shape[1]):
+                if nbr_mask[i_new, k]:
+                    assert old_of_new[nbr_new[i_new, k]] == nbr_old[i_old, k]
+
+
+def test_phased_compaction_trim_parity():
+    """A step-0 boundary whose radius covers every real residue is an exact
+    padding trim: the phased path must reproduce the single-phase final
+    poses (fp-reassociation tolerance only)."""
+    batch = make_random_batch(B=2, N=24, pad_rec=8, lm_dim=0)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    b0 = sampling.randomize_position(batch, jax.random.PRNGKey(3), tr_sigma_max=2.0)
+    cfg = SamplerConfig(inference_steps=4)
+    base, _ = sampling.sample(model, variables, b0, jax.random.PRNGKey(4), SMALL_CFG, cfg)
+    cfg2 = SamplerConfig(inference_steps=4, rec_phase_steps=(0,), rec_phase_caps=(16,),
+                         rec_phase_margin=1000.0)
+    two, _ = sampling.sample(model, variables, b0, jax.random.PRNGKey(4), SMALL_CFG, cfg2)
+    assert two.lig_pos.shape == b0.lig_pos.shape  # full-size batch returned
+    np.testing.assert_allclose(np.asarray(two.lig_pos), np.asarray(base.lig_pos),
+                               atol=2e-3, rtol=0)
+
+
+def test_phased_compaction_mid_scan_crop():
+    """Mid-scan crop boundary: runs, stays finite, stays near the uncropped
+    trajectory (the dropped residues are beyond the cross cutoff), and a
+    trajectory keeps the full step count."""
+    batch = make_random_batch(B=2, N=24, pad_rec=4, lm_dim=0)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    b0 = sampling.randomize_position(batch, jax.random.PRNGKey(5), tr_sigma_max=2.0)
+    cfg = SamplerConfig(inference_steps=6)
+    base, _ = sampling.sample(model, variables, b0, jax.random.PRNGKey(6), SMALL_CFG, cfg)
+    cfg2 = SamplerConfig(inference_steps=6, rec_phase_steps=(0, 3), rec_phase_caps=(20, 16))
+    two, traj = sampling.sample(model, variables, b0, jax.random.PRNGKey(6), SMALL_CFG, cfg2,
+                                return_trajectory=True)
+    assert traj.shape == (6,) + b0.lig_pos.shape
+    assert np.isfinite(np.asarray(two.lig_pos)).all()
+    # same complex, same keys: poses should stay close to the uncropped path
+    delta = np.abs(np.asarray(two.lig_pos) - np.asarray(base.lig_pos)).max()
+    assert delta < 1.0, delta
+
+
+def test_phase_plan_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        sampling._phase_plan(SamplerConfig(rec_phase_steps=(0, 3), rec_phase_caps=(16,)), 20)
+    with pytest.raises(ValueError):
+        sampling._phase_plan(SamplerConfig(rec_phase_steps=(3, 0), rec_phase_caps=(16, 8)), 20)
+    with pytest.raises(ValueError):
+        sampling._phase_plan(SamplerConfig(rec_phase_steps=(0, 3), rec_phase_caps=(8, 16)), 20)
+    assert sampling._phase_plan(SamplerConfig(), 20) == ()
