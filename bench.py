@@ -134,7 +134,9 @@ def _measure():
     phases = {}
     N = batch.rec_pos.shape[1]
     if os.environ.get("BENCH_PHASES", "1") == "1" and backend != "cpu":
-        plan = [(8, 256)]
+        # BENCH_PLAN="8:256,14:128" overrides for phase-plan experiments
+        plan_s = os.environ.get("BENCH_PLAN", "8:256")
+        plan = [(int(p.split(":")[0]), int(p.split(":")[1])) for p in plan_s.split(",")]
         plan = [(s, c) for s, c in plan if c < N]
         if plan:
             phases = dict(rec_phase_steps=tuple(s for s, _ in plan),

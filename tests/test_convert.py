@@ -24,11 +24,20 @@ def _fake_sd_from_params(cfg, variables):
     params = variables["params"]
     stats = variables.get("batch_stats", {})
 
-    def fcblock(ref, tree):
-        for j in range(len([k for k in tree if k.startswith("Dense")])):
-            sd[f"{ref}.{3 * j}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
-            if "bias" in tree[f"Dense_{j}"]:
-                sd[f"{ref}.{3 * j}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+    def fcblock(ref, tree, out_perm=None):
+        denses = len([k for k in tree if k.startswith("Dense")])
+        for j in range(denses):
+            k = np.asarray(tree[f"Dense_{j}"]["kernel"])
+            b = tree[f"Dense_{j}"].get("bias")
+            if out_perm is not None and j == denses - 1:
+                # write the TRUE e3nn instruction-major layout: convert.py
+                # reads ours = e3nn[perm], so emit e3nn = ours[argsort(perm)]
+                inv = np.argsort(out_perm)
+                k = k[:, inv]
+                b = None if b is None else np.asarray(b)[inv]
+            sd[f"{ref}.{3 * j}.weight"] = k.T
+            if b is not None:
+                sd[f"{ref}.{3 * j}.bias"] = np.asarray(b)
 
     def atom_encoder(ref, tree):
         for k, v in tree.items():
@@ -50,14 +59,15 @@ def _fake_sd_from_params(cfg, variables):
             chunks.append(np.asarray([src.pop(0) for _ in range(mul)]))
         sd[f"{ref}.running_var"] = np.concatenate(chunks)
 
-    def tpconv(ref, name, irreps_out):
+    def tpconv(ref, name, in_irreps, irreps_out, kind="trunk"):
+        perm = C.tp_perm_for_layer(c, in_irreps, irreps_out, kind)
         p = params[name]
         groups = sorted(k for k in p if k.startswith("edge_mlps"))
         if len(groups) == 1:
-            fcblock(f"{ref}.fc", p["edge_mlps_0"])
+            fcblock(f"{ref}.fc", p["edge_mlps_0"], out_perm=perm)
         else:
             for g, k in enumerate(groups):
-                fcblock(f"{ref}.fc.{g}", p[f"edge_mlps_{g}"])
+                fcblock(f"{ref}.fc.{g}", p[f"edge_mlps_{g}"], out_perm=perm)
         if "bn" in p:
             bn(f"{ref}.batch_norm", p["bn"], stats[name]["bn"], irreps_out)
 
@@ -74,17 +84,17 @@ def _fake_sd_from_params(cfg, variables):
     for n in ("lig_edge_embedding", "rec_edge_embedding", "rec_sigma_embedding", "cross_edge_embedding"):
         fcblock(n, params[n])
     for i in range(c.num_prot_emb_layers):
-        tpconv(f"rec_emb_layers.{i}", f"rec_emb_layers_{i}", seq[min(i + 1, 3)])
-        tpconv(f"lig_emb_layers.{i}", f"lig_emb_layers_{i}", seq[min(i + 1, 3)])
+        tpconv(f"rec_emb_layers.{i}", f"rec_emb_layers_{i}", seq[min(i, 3)], seq[min(i + 1, 3)])
+        tpconv(f"lig_emb_layers.{i}", f"lig_emb_layers_{i}", seq[min(i, 3)], seq[min(i + 1, 3)])
     P, Cn = c.num_prot_emb_layers, c.num_conv_layers
     for k in range(Cn):
-        tpconv(f"conv_layers.{k}", f"conv_layers_{k}", seq[min(P + k + 1, 3)])
+        tpconv(f"conv_layers.{k}", f"conv_layers_{k}", seq[min(P + k, 3)], seq[min(P + k + 1, 3)])
     fcblock("center_edge_embedding", params["center_edge_embedding"])
-    tpconv("final_conv", "final_conv", "2x1o + 2x1e")
+    tpconv("final_conv", "final_conv", seq[min(P + Cn, 3)], "2x1o + 2x1e", kind="final")
     seq_mlp("tr_final_layer", params["tr_final_layer"], (0, 3))
     seq_mlp("rot_final_layer", params["rot_final_layer"], (0, 3))
     fcblock("final_edge_embedding", params["final_edge_embedding"])
-    tpconv("tor_bond_conv", "tor_bond_conv", f"{c.ns}x0o + {c.ns}x0e")
+    tpconv("tor_bond_conv", "tor_bond_conv", seq[min(P + Cn, 3)], f"{c.ns}x0o + {c.ns}x0e", kind="tor")
     seq_mlp("tor_final_layer", params["tor_final_layer"], (0, 3))
     return sd
 
@@ -138,11 +148,20 @@ def test_convert_all_atom_confidence_round_trip():
 
     sd = {}
 
-    def fcblock(ref, tree):
-        for j in range(len([k for k in tree if k.startswith("Dense")])):
-            sd[f"{ref}.{3 * j}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
-            if "bias" in tree[f"Dense_{j}"]:
-                sd[f"{ref}.{3 * j}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+    def fcblock(ref, tree, out_perm=None):
+        denses = len([k for k in tree if k.startswith("Dense")])
+        for j in range(denses):
+            k = np.asarray(tree[f"Dense_{j}"]["kernel"])
+            b = tree[f"Dense_{j}"].get("bias")
+            if out_perm is not None and j == denses - 1:
+                # write the TRUE e3nn instruction-major layout: convert.py
+                # reads ours = e3nn[perm], so emit e3nn = ours[argsort(perm)]
+                inv = np.argsort(out_perm)
+                k = k[:, inv]
+                b = None if b is None else np.asarray(b)[inv]
+            sd[f"{ref}.{3 * j}.weight"] = k.T
+            if b is not None:
+                sd[f"{ref}.{3 * j}.bias"] = np.asarray(b)
 
     def atom_encoder(ref, tree):
         for k, v in tree.items():
@@ -163,14 +182,15 @@ def test_convert_all_atom_confidence_round_trip():
             chunks.append(np.asarray([src.pop(0) for _ in range(mul)]))
         sd[f"{ref}.running_var"] = np.concatenate(chunks)
 
-    def tpconv(ref, name, irreps_out):
+    def tpconv(ref, name, in_irreps, irreps_out, kind="trunk"):
+        perm = C.tp_perm_for_layer(cfg, in_irreps, irreps_out, kind)
         p = params[name]
         groups = sorted(k for k in p if k.startswith("edge_mlps"))
         if len(groups) == 1:
-            fcblock(f"{ref}.fc", p["edge_mlps_0"])
+            fcblock(f"{ref}.fc", p["edge_mlps_0"], out_perm=perm)
         else:
             for g in range(len(groups)):
-                fcblock(f"{ref}.fc.{g}", p[f"edge_mlps_{g}"])
+                fcblock(f"{ref}.fc.{g}", p[f"edge_mlps_{g}"], out_perm=perm)
         if "bn" in p:
             bn(f"{ref}.batch_norm", p["bn"], stats[name]["bn"], irreps_out)
 
@@ -194,10 +214,10 @@ def test_convert_all_atom_confidence_round_trip():
         fcblock(n, params[n])
     P, Cn = cfg.num_prot_emb_layers, cfg.num_conv_layers
     for i in range(P):
-        tpconv(f"rec_emb_layers.{i}", f"rec_emb_layers_{i}", seq[min(i + 1, 3)])
-        tpconv(f"lig_emb_layers.{i}", f"lig_emb_layers_{i}", seq[min(i + 1, 3)])
+        tpconv(f"rec_emb_layers.{i}", f"rec_emb_layers_{i}", seq[min(i, 3)], seq[min(i + 1, 3)])
+        tpconv(f"lig_emb_layers.{i}", f"lig_emb_layers_{i}", seq[min(i, 3)], seq[min(i + 1, 3)])
     for k in range(Cn):
-        tpconv(f"conv_layers.{k}", f"conv_layers_{k}", seq[min(P + k + 1, 3)])
+        tpconv(f"conv_layers.{k}", f"conv_layers_{k}", seq[min(P + k, 3)], seq[min(P + k + 1, 3)])
     conf_head("confidence_predictor", params["confidence_predictor"], stats["confidence_predictor"])
     conf_head("atom_confidence_predictor", params["atom_confidence_predictor"], stats["atom_confidence_predictor"])
 
@@ -220,11 +240,20 @@ def _fake_legacy_sd(cfg, variables, group_map):
     params = variables["params"]
     stats = variables.get("batch_stats", {})
 
-    def fcblock(ref, tree):
-        for j in range(len([k for k in tree if k.startswith("Dense")])):
-            sd[f"{ref}.{3 * j}.weight"] = np.asarray(tree[f"Dense_{j}"]["kernel"]).T
-            if "bias" in tree[f"Dense_{j}"]:
-                sd[f"{ref}.{3 * j}.bias"] = np.asarray(tree[f"Dense_{j}"]["bias"])
+    def fcblock(ref, tree, out_perm=None):
+        denses = len([k for k in tree if k.startswith("Dense")])
+        for j in range(denses):
+            k = np.asarray(tree[f"Dense_{j}"]["kernel"])
+            b = tree[f"Dense_{j}"].get("bias")
+            if out_perm is not None and j == denses - 1:
+                # write the TRUE e3nn instruction-major layout: convert.py
+                # reads ours = e3nn[perm], so emit e3nn = ours[argsort(perm)]
+                inv = np.argsort(out_perm)
+                k = k[:, inv]
+                b = None if b is None else np.asarray(b)[inv]
+            sd[f"{ref}.{3 * j}.weight"] = k.T
+            if b is not None:
+                sd[f"{ref}.{3 * j}.bias"] = np.asarray(b)
 
     def atom_encoder(ref, tree):
         for k, v in tree.items():
@@ -248,9 +277,10 @@ def _fake_legacy_sd(cfg, variables, group_map):
             chunks.append(np.asarray([src.pop(0) for _ in range(mul)]))
         sd[f"{ref}.running_var"] = np.concatenate(chunks)
 
-    def tpconv(ref, name, irreps_out):
+    def tpconv(ref, name, in_irreps, irreps_out, kind="trunk"):
+        perm = C.tp_perm_for_layer(cfg, in_irreps, irreps_out, kind, force_generic=True)
         p = params[name]
-        fcblock(f"{ref}.fc", p["edge_mlps_0"])
+        fcblock(f"{ref}.fc", p["edge_mlps_0"], out_perm=perm)
         if "bn" in p:
             bn(f"{ref}.batch_norm", p["bn"], stats[name]["bn"], irreps_out)
 
@@ -278,9 +308,10 @@ def _fake_legacy_sd(cfg, variables, group_map):
             atom_encoder(name, params[name])
         elif name.endswith("_edge_embedding"):
             fcblock(name, params[name])
+    n_depth = cfg.num_conv_layers
     for flax_name, ref_prefix in group_map.items():
         depth = int(flax_name.rsplit("_", 1)[1])
-        tpconv(ref_prefix, flax_name, seq[min(depth + 1, 3)])
+        tpconv(ref_prefix, flax_name, seq[min(depth, 3)], seq[min(depth + 1, 3)])
     if cfg.confidence_mode:
         conf_head("confidence_predictor", params["confidence_predictor"],
                   stats.get("confidence_predictor", {}))
@@ -288,10 +319,11 @@ def _fake_legacy_sd(cfg, variables, group_map):
             conf_head("affinity_predictor", params["affinity_predictor"],
                       stats.get("affinity_predictor", {}))
     else:
-        tpconv("final_conv", "final_conv", "2x1o + 2x1e")
+        tpconv("final_conv", "final_conv", seq[min(n_depth, 3)], "2x1o + 2x1e", kind="final")
         seq_mlp("tr_final_layer", params["tr_final_layer"], (0, 3))
         seq_mlp("rot_final_layer", params["rot_final_layer"], (0, 3))
-        tpconv("tor_bond_conv", "tor_bond_conv", f"{cfg.ns}x0o + {cfg.ns}x0e")
+        tpconv("tor_bond_conv", "tor_bond_conv", seq[min(n_depth, 3)],
+               f"{cfg.ns}x0o + {cfg.ns}x0e", kind="tor")
         seq_mlp("tor_final_layer", params["tor_final_layer"], (0, 3))
     return sd
 
@@ -490,3 +522,134 @@ def test_reference_manifests_fully_classified():
         assert not unknown, f"{name}: unclassified manifest keys {sorted(unknown)}"
         cfg = factory.config_from_reference_manifest(manifest)
         assert cfg.ns == manifest["ns"] and cfg.nv == manifest["nv"]
+
+
+# ---------------------------------------------------------------------------
+# Independent e3nn weight-layout fixtures (VERDICT r2 item 4): the expected
+# layouts below are written BY HAND from e3nn-0.5's documented semantics
+# (o3/_tensor_product/_sub.py FullyConnectedTensorProduct), not generated by
+# convert.py — a convert.py layout bug fails these tests.
+# ---------------------------------------------------------------------------
+
+
+def test_e3nn_perm_hand_case():
+    """in = sh = out = '1x0e + 1x1o': the admissible uvw instructions
+    (1o x 1o -> 1o is parity-forbidden: o*o = e) in e3nn's enumeration
+    order (i_in MAJOR, i_sh middle, i_out MINOR):
+        0: (0e x 0e -> 0e)   1: (0e x 1o -> 1o)
+        2: (1o x 0e -> 1o)   3: (1o x 1o -> 0e)
+    Ours groups by OUTPUT irrep, paths (i_in major, i_sh minor):
+        group 0e: [(0,0), (1,1)] -> slots 0, 1
+        group 1o: [(0,1), (1,0)] -> slots 2, 3
+    so ours_flat = e3nn_flat[[0, 3, 1, 2]]."""
+    perm = C.e3nn_tp_weight_permutation("1x0e + 1x1o", "1x0e + 1x1o", "1x0e + 1x1o")
+    np.testing.assert_array_equal(perm, [0, 3, 1, 2])
+
+
+def _e3nn_fctp_apply(irr_in, irr_sh, irr_out, x, sh, w):
+    """Hand-written executor of e3nn-0.5 FullyConnectedTensorProduct
+    (shared_weights=False, irrep_normalization='component',
+    path_normalization='element'): instruction order i_in -> i_sh -> i_out,
+    per-instruction weight blocks (mul_in, 1, mul_out) flattened in C order,
+    per-path scale sqrt(ir_out.dim / fan(i_out)) with
+    fan(i_out) = sum of mul_in over instructions writing i_out. Uses the
+    same CG constants as ops/irreps.py (pinned independently by
+    tests/test_irreps.py::test_cg_analytic_fixtures)."""
+    from confidence_bootstrapping_tpu.ops import irreps as ir_mod
+
+    irr_in, irr_sh, irr_out = Irreps(irr_in), Irreps(irr_sh), Irreps(irr_out)
+    in_sl, sh_sl, out_sl = irr_in.slices(), irr_sh.slices(), irr_out.slices()
+
+    def ok(ir1, ir2, iro):
+        return abs(ir1.l - ir2.l) <= iro.l <= ir1.l + ir2.l and ir1.p * ir2.p == iro.p
+
+    fan = {io: sum(mul1 for mul1, ir1 in irr_in for _, ir2 in irr_sh if ok(ir1, ir2, iro))
+           for io, (_, iro) in enumerate(irr_out)}
+    out = np.zeros(x.shape[:-1] + (irr_out.dim,))
+    ofs = 0
+    for i1, (mul1, ir1) in enumerate(irr_in):
+        x1 = x[..., in_sl[i1]].reshape(x.shape[:-1] + (mul1, ir1.dim))
+        for i2, (_, ir2) in enumerate(irr_sh):
+            s2 = sh[..., sh_sl[i2]]
+            for io, (mulo, iro) in enumerate(irr_out):
+                if not ok(ir1, ir2, iro):
+                    continue
+                W = w[..., ofs : ofs + mul1 * mulo].reshape(w.shape[:-1] + (mul1, mulo))
+                ofs += mul1 * mulo
+                K = np.asarray(ir_mod.clebsch_gordan(ir1.l, ir2.l, iro.l))
+                blk = np.einsum("...ui,...j,ijk->...uk", x1, s2, K) * np.sqrt(iro.dim)
+                add = np.einsum("...uk,...uw->...wk", blk, W) / np.sqrt(fan[io])
+                out[..., out_sl[io]] += add.reshape(add.shape[:-2] + (mulo * iro.dim,))
+    assert ofs == w.shape[-1]
+    return out
+
+
+def test_e3nn_layout_executor_parity():
+    """Our WeightedTensorProduct fed e3nn-layout weights through
+    e3nn_tp_weight_permutation must reproduce the hand-written e3nn
+    executor — on an lmax=2 case shaped like the pretrained confidence
+    model's TP convs (multi-path, multi-output, mixed parities)."""
+    import jax.numpy as jnp
+    from confidence_bootstrapping_tpu.ops.irreps import WeightedTensorProduct
+
+    irr_in, irr_sh, irr_out = "4x0e + 2x1o + 2x1e + 1x0o", "1x0e + 1x1o + 1x2e", "3x0e + 2x1o + 2x1e"
+    tp = WeightedTensorProduct(irr_in, irr_sh, irr_out)
+    perm = C.e3nn_tp_weight_permutation(irr_in, irr_sh, irr_out)
+    assert perm is not None and len(perm) == tp.weight_numel
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(6, Irreps(irr_in).dim)
+    vec = rng.randn(6, 3)
+    vec /= np.linalg.norm(vec, axis=-1, keepdims=True)
+    from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
+
+    sh = np.asarray(spherical_harmonics(2, jnp.asarray(vec)))
+    w_e3nn = rng.randn(6, tp.weight_numel)
+
+    want = _e3nn_fctp_apply(irr_in, irr_sh, irr_out, x, sh, w_e3nn)
+    got = np.asarray(tp(jnp.asarray(x, jnp.float32), jnp.asarray(sh, jnp.float32),
+                        jnp.asarray(w_e3nn[..., perm], jnp.float32)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_e3nn_layout_executor_parity_sorted_sh():
+    """The torsion head's sh comes from FullTensorProduct(sh, '2e'):
+    e3nn SORTS those output irreps (o3 Irrep order 0e, 0o, 1o, 1e, 2e,
+    2o, 3o, ...), ours keeps path order (2e, 1o, 2o, 3o for sh_lmax=1).
+    The converter must both reorder the sh paths and regroup the weights."""
+    import jax.numpy as jnp
+    from confidence_bootstrapping_tpu.ops.irreps import (
+        FullTensorProduct, WeightedTensorProduct, spherical_harmonics)
+
+    sh_ours_irr = FullTensorProduct("1x0e + 1x1o", "1x2e").irreps_out
+    assert str(Irreps(sh_ours_irr)) == str(Irreps("1x2e + 1x1o + 1x2o + 1x3o"))
+    sh_e3nn_items = C.e3nn_sorted_irreps(sh_ours_irr)
+    assert [(m, ir) for m, ir in sh_e3nn_items] == [(1, (1, -1)), (1, (2, 1)), (1, (2, -1)), (1, (3, -1))]
+    sh_e3nn_irr = C._irreps_str(sh_e3nn_items)
+
+    irr_in, irr_out = "3x0e + 2x1o + 2x1e + 1x0o", "2x0o + 2x0e"
+    tp = WeightedTensorProduct(irr_in, str(sh_ours_irr), irr_out)
+    perm = C.e3nn_tp_weight_permutation(irr_in, str(sh_ours_irr), irr_out,
+                                        sh_sorted=True)
+    assert perm is not None
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(5, Irreps(irr_in).dim)
+    vec = rng.randn(5, 3)
+    vec /= np.linalg.norm(vec, axis=-1, keepdims=True)
+    bond = rng.randn(5, 3)
+    bond /= np.linalg.norm(bond, axis=-1, keepdims=True)
+    ftp = FullTensorProduct("1x0e + 1x1o", "1x2e")
+    sh_ours = np.asarray(ftp(np.asarray(spherical_harmonics(1, jnp.asarray(vec))),
+                             np.asarray(spherical_harmonics(2, jnp.asarray(bond)))[..., 4:]))
+
+    # reorder our path-ordered sh blocks (2e, 1o, 2o, 3o) into e3nn's sorted
+    # order (1o, 2e, 2o, 3o) by (l, p) for the executor
+    ours_slices = {(ir.l, ir.p): sl for (_, ir), sl in zip(Irreps(sh_ours_irr), Irreps(sh_ours_irr).slices())}
+    sh_e3nn = np.concatenate([sh_ours[..., ours_slices[k]] for _, k in sh_e3nn_items], axis=-1)
+
+    w_e3nn = rng.randn(5, tp.weight_numel)
+    want = _e3nn_fctp_apply(irr_in, sh_e3nn_irr, irr_out, x, sh_e3nn, w_e3nn)
+    got = np.asarray(tp(jnp.asarray(x, jnp.float32), jnp.asarray(sh_ours, jnp.float32),
+                        jnp.asarray(w_e3nn[..., perm], jnp.float32)))
+    np.testing.assert_allclose(got, want, atol=2e-4)

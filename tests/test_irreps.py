@@ -193,3 +193,51 @@ def test_depthwise_tp_equivariance():
     out_r = np.asarray(tp(jnp.asarray(x_r), sh_r, jnp.asarray(w)))
     want = _block_rotate(tp.irreps_out, out, rot)
     np.testing.assert_allclose(out_r, want, atol=2e-4)
+
+
+def test_cg_analytic_fixtures():
+    """Pin the CG tables against closed forms derived BY HAND — not from the
+    solver in ops/irreps.py (VERDICT r2: the e3nn conventions must be pinned
+    independently of the code that implements them).
+
+    Derivations (component-normalized real SH, our bases x,y,z and
+    (xy, yz, 2z^2-x^2-y^2, zx, x^2-y^2)):
+      * 1x1->0: the invariant bilinear is the dot product; unit-F-norm
+        tensor K[a,b,0] = delta_ab / sqrt(3).
+      * 1x1->1: the equivariant bilinear is the cross product;
+        K[a,b,i] = eps_abi / sqrt(6) (F-norm: 6 entries of 1/6).
+      * 1x2->1: every l=2 component q_b is a quadratic form u^T S_b u; the
+        unique equivariant map is (x, q) -> (sum_b q_b n_b S_b) x, because
+        (R S R^T)(R x) = R (S x). K[a,b,i] = n_b S_b[a,i] / F, where n_b is
+        the component normalizer (sqrt(15) for xy/yz/zx, sqrt(5)/2 for
+        2z^2-x^2-y^2, sqrt(15)/2 for x^2-y^2) and F normalizes to unit
+        Frobenius norm (F^2 = 5 * 7.5 = 37.5).
+    Signs follow the solver's documented rule (largest-|entry| positive,
+    first flat index breaking ties): +delta, +eps (entry (x,y,z) positive),
+    and +2 n_3 at (z, 2z^2-..., z) — asserted exactly, so a sign-convention
+    change in the solver fails this test.
+    """
+    # 1 x 1 -> 0
+    K = ir.clebsch_gordan(1, 1, 0)
+    np.testing.assert_allclose(K[:, :, 0], np.eye(3) / np.sqrt(3), atol=1e-10)
+
+    # 1 x 1 -> 1
+    K = ir.clebsch_gordan(1, 1, 1)
+    eps = np.zeros((3, 3, 3))
+    for a, b, c, s in [(0, 1, 2, 1), (1, 2, 0, 1), (2, 0, 1, 1),
+                       (0, 2, 1, -1), (2, 1, 0, -1), (1, 0, 2, -1)]:
+        eps[a, b, c] = s
+    np.testing.assert_allclose(K, eps / np.sqrt(6), atol=1e-10)
+
+    # 1 x 2 -> 1
+    K = ir.clebsch_gordan(1, 2, 1)
+    n = [np.sqrt(15.0), np.sqrt(15.0), np.sqrt(5.0) / 2.0, np.sqrt(15.0), np.sqrt(15.0) / 2.0]
+    S = np.zeros((5, 3, 3))
+    S[0][0, 1] = S[0][1, 0] = 0.5                      # xy
+    S[1][1, 2] = S[1][2, 1] = 0.5                      # yz
+    S[2][0, 0] = S[2][1, 1] = -1.0; S[2][2, 2] = 2.0   # 2z^2 - x^2 - y^2
+    S[3][0, 2] = S[3][2, 0] = 0.5                      # zx
+    S[4][0, 0] = 1.0; S[4][1, 1] = -1.0                # x^2 - y^2
+    want = np.einsum("b,bai->abi", np.asarray(n), S)
+    want = want / np.linalg.norm(want)
+    np.testing.assert_allclose(K, want, atol=1e-10)
