@@ -310,13 +310,19 @@ class TPConv(nn.Module):
             and self.n_edge_features == 3 * ns
             and N % 32 == 0
         )
+        # in-kernel gather for lmax=2 kNN groups: measured WIN at compacted
+        # tables (confidence fwd B=8 79.9 -> 73.2 ms at N=256/A=2048) and
+        # neutral-to-slightly-worse at full buckets (97.1 -> 97.9 ms at
+        # A=4096) — the one-hot gather matmul scales with the table size.
+        # auto = fused when the node table is <= 2048 rows; 1/0 force.
+        gate = os.environ.get("CBT_FUSED_REC_G", "auto")
         if (
             not use_fused
             and mode == "general"
             and sh_lmax <= 2
             and self.n_edge_features == 3 * ns
             and N % 8 == 0
-            and os.environ.get("CBT_FUSED_REC_G", "0") == "1"  # opt-in until TPU-validated
+            and (gate == "1" or (gate == "auto" and N <= 2048))
         ):
             # generalized v4: in-kernel gather for the lmax=2 kNN groups
             from ..ops.pallas import tpconv_g as _tpg
@@ -394,12 +400,14 @@ class TPConv(nn.Module):
             and sh_lmax == 1
             and self.n_edge_features == edge_emb.shape[-1] + 2 * ns
         )
+        # same size-aware gate as conv_rec_knn (see comment there)
+        gate = os.environ.get("CBT_FUSED_REC_G", "auto")
         if (
             not use_fused
             and mode == "general"
             and sh_lmax <= 2
             and self.n_edge_features == edge_emb.shape[-1] + 2 * ns
-            and os.environ.get("CBT_FUSED_REC_G", "0") == "1"  # opt-in until TPU-validated
+            and (gate == "1" or (gate == "auto" and src_attr.shape[1] <= 2048))
         ):
             from ..ops.pallas import tpconv_g as _tpg
 

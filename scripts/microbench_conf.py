@@ -56,15 +56,17 @@ def main():
     model = AllAtomScoreModel(cfg)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
+    import numpy as np
+
     score = jax.jit(lambda v, b: sampling.score_confidence(model, v, b))
-    out = score(variables, batch)
-    jax.block_until_ready(out)
+    # axon gotcha (docs/PERF_NOTES.md): block_until_ready returns early
+    # through the tunnel — sync with a device-to-host transfer instead
+    np.asarray(score(variables, batch))
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out = score(variables, batch)
-        jax.block_until_ready(out)
+        np.asarray(score(variables, batch))
         times.append(time.perf_counter() - t0)
 
     print(json.dumps({
