@@ -1,0 +1,177 @@
+"""DockGen-scale evaluator stress run (VERDICT r2 item 7).
+
+Drives ``cli/infer.py`` over ~85 synthetic complexes spanning the
+N=1024/2048/3072 receptor buckets with the all-atom confidence rerank on —
+the scale of the reference's DockGen-clusters evaluation (README.md:9,
+85 complexes; per-complex wall times per inference.py:624-626
+``run_times_mean/std`` semantics). Asserts zero cross-cap overflows (the
+telemetry the evaluator already emits) and writes a committed artifact
+json with per-bucket wall-time stats.
+
+Receptor geometry is protein-like in EXTENT (not a dense blob): residues
+follow a 3.8 A-step random walk confined to a sphere of radius
+1.3 * 2.2 * n^0.38 (the empirical radius-of-gyration scaling), so the
+sigma-adaptive cross cutoff sees realistic neighbor counts. Ligands
+(15-40 heavy atoms) start near a surface residue.
+
+Usage:  python scripts/stress_eval.py [--n 85] [--samples 8] [--steps 20]
+        [--out docs/artifacts/stress_dockgen_scale.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def write_complex(root: str, name: str, n_res: int, n_lig: int, seed: int) -> None:
+    from confidence_bootstrapping_tpu.data.mol_io import Molecule, write_sdf
+
+    rng = np.random.RandomState(seed)
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+
+    radius = 1.3 * 2.2 * n_res ** 0.38
+    pos = np.zeros((n_res, 3))
+    cur = rng.randn(3) * radius / 3
+    for i in range(n_res):
+        step = rng.randn(3)
+        step = 3.8 * step / np.linalg.norm(step)
+        nxt = cur + step
+        if np.linalg.norm(nxt) > radius:  # reflect back inside
+            nxt = cur - step
+        pos[i] = cur = nxt
+
+    lines = []
+    serial = 1
+    for i in range(n_res):
+        for aname, elem, off in (("N", "N", [1.4, 0, 0]), ("CA", "C", [0, 0, 0]), ("C", "C", [0, 1.4, 0])):
+            x, y, z = pos[i] + off
+            lines.append(
+                f"ATOM  {serial:5d} {aname:<4s} ALA A{(i % 9999) + 1:4d}    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00          {elem:>2s}"
+            )
+            serial += 1
+    with open(os.path.join(d, f"{name}_protein_processed.pdb"), "w") as f:
+        f.write("\n".join(lines) + "\nEND\n")
+
+    # ligand: branched-chain molecule near a random surface residue
+    center = pos[rng.randint(n_res)]
+    lpos = center + np.cumsum(rng.rand(n_lig, 3) * 1.2 + 0.3, axis=0) - n_lig * 0.45
+    bonds = [(i, i + 1, 1) for i in range(n_lig - 1)]
+    mol = Molecule(np.full(n_lig, 6), lpos, bonds, np.zeros(n_lig, dtype=int), name)
+    write_sdf(mol, lpos, os.path.join(d, f"{name}_ligand.sdf"), name=name)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=85)
+    ap.add_argument("--samples", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--data_dir", default="/tmp/stress_data")
+    ap.add_argument("--workdir", default="/tmp/stress_out")
+    ap.add_argument("--out", default="docs/artifacts/stress_dockgen_scale.json")
+    args = ap.parse_args(argv)
+
+    from confidence_bootstrapping_tpu.config import ScoreModelConfig, save_yaml
+    from confidence_bootstrapping_tpu.train import checkpoints
+
+    # size plan: roughly even thirds across the three big buckets
+    rng = np.random.RandomState(0)
+    sizes = []
+    for i in range(args.n):
+        b = i % 3
+        lo, hi = [(600, 1000), (1100, 1900), (2100, 2900)][b]
+        sizes.append(int(rng.randint(lo, hi)))
+
+    t0 = time.time()
+    names = []
+    for i, n_res in enumerate(sizes):
+        name = f"stress{i:03d}"
+        names.append(name)
+        write_complex(args.data_dir, name, n_res, n_lig=int(rng.randint(15, 41)), seed=i)
+    gen_wall = time.time() - t0
+    print(f"generated {len(names)} complexes in {gen_wall:.1f}s", flush=True)
+
+    # full-size architectures (pretrained manifests' shapes), random init
+    score_dir = os.path.join(args.workdir, "score")
+    os.makedirs(score_dir, exist_ok=True)
+    save_yaml(ScoreModelConfig(lm_embedding_dim=0, dropout=0.0),
+              os.path.join(score_dir, checkpoints.CONFIG_NAME))
+    conf_dir = os.path.join(args.workdir, "conf")
+    os.makedirs(conf_dir, exist_ok=True)
+    save_yaml(ScoreModelConfig(ns=24, nv=6, sh_lmax=2, lm_embedding_dim=0, dropout=0.0,
+                               all_atoms=True, confidence_mode=True, crop_beyond=20.0),
+              os.path.join(conf_dir, checkpoints.CONFIG_NAME))
+
+    from confidence_bootstrapping_tpu.cli import infer
+
+    out_dir = os.path.join(args.workdir, "eval")
+    t0 = time.time()
+    infer.main([
+        "--data_dir", args.data_dir, "--out_dir", out_dir,
+        "--model_dir", score_dir, "--confidence_model_dir", conf_dir,
+        "--samples_per_complex", str(args.samples),
+        "--inference_steps", str(args.steps),
+        "--batch_size", str(args.samples),
+        "--cache_path", os.path.join(args.workdir, "cache"),
+    ])
+    eval_wall = time.time() - t0
+
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        m = json.load(f)
+    run_times = np.load(os.path.join(out_dir, "run_times.npy"))
+    loaded_names = [str(x) for x in np.load(os.path.join(out_dir, "complex_names.npy"))]
+
+    # per-bucket wall stats
+    size_of = {f"stress{i:03d}": s for i, s in enumerate(sizes)}
+    bucket_of = lambda s: 1024 if s <= 1024 else (2048 if s <= 2048 else 3072)
+    per_bucket = {}
+    for nm, rt in zip(loaded_names, run_times):
+        b = bucket_of(size_of[nm])
+        per_bucket.setdefault(b, []).append(float(rt))
+
+    import jax
+
+    artifact = {
+        "what": "DockGen-scale evaluator stress run: synthetic complexes across "
+                "N=1024/2048/3072 receptor buckets, AA confidence rerank on "
+                "(randomly initialized full-size architectures)",
+        "n_complexes": m["n_complexes"],
+        "failures": m["failures"],
+        "samples_per_complex": args.samples,
+        "inference_steps": args.steps,
+        "backend": jax.devices()[0].platform,
+        "device_kind": getattr(jax.devices()[0], "device_kind", ""),
+        "cross_cap_dropped_edge_frac": m.get("cross_cap_dropped_edge_frac"),
+        "cross_cap_overflow_atom_frac": m.get("cross_cap_overflow_atom_frac"),
+        "run_times_mean": m.get("run_times_mean"),
+        "run_times_std": m.get("run_times_std"),
+        "per_bucket_run_time_mean_s": {
+            str(b): round(float(np.mean(v)), 3) for b, v in sorted(per_bucket.items())},
+        "per_bucket_n": {str(b): len(v) for b, v in sorted(per_bucket.items())},
+        "eval_wall_s": round(eval_wall, 1),
+        "generation_wall_s": round(gen_wall, 1),
+        "metric_dict_keys": sorted(m.keys()),
+    }
+    # assertions the round's Done criterion names
+    assert m["failures"] == 0, m["failures"]
+    assert m["n_complexes"] == args.n
+    assert m.get("cross_cap_dropped_edge_frac", 1.0) == 0.0, m.get("cross_cap_dropped_edge_frac")
+    for art in ("rmsds", "centroid_distances", "confidences", "run_times", "complex_names"):
+        assert os.path.exists(os.path.join(out_dir, f"{art}.npy")), art
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact, indent=2))
+
+
+if __name__ == "__main__":
+    main()
