@@ -67,6 +67,14 @@ def get_parser():
     p.add_argument("--confidence_ckpt", default="last_model")
     p.add_argument("--samples_per_complex", type=int, default=10)
     p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--rec_phase_plan", default="",
+                   help="phased receptor compaction plan 'step:cap,step:cap' "
+                        "(e.g. '8:256'): from each step keep only the cap "
+                        "residues nearest any pose (the reference's per-step "
+                        "crop_beyond rebatching, utils/sampling.py:100-106, as "
+                        "fixed-shape phases; TPU perf, docs/PERF_NOTES.md). "
+                        "Entries with cap >= the complex's receptor bucket are "
+                        "dropped per complex")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--limit_failures", type=int, default=5)
@@ -295,6 +303,19 @@ def main(argv=None):
                                  n_atoms=0 if hc.atom_f is None else len(hc.atom_f), all_atoms=need_atoms)
             padded = pad_complex(hc, bucket, lm_dim=0)
 
+            sc_local = sampler_cfg
+            if args.rec_phase_plan:
+                import dataclasses
+
+                plan = [(int(x.split(":")[0]), int(x.split(":")[1]))
+                        for x in args.rec_phase_plan.split(",") if x]
+                plan = [(s, c) for s, c in plan if c < bucket.N]
+                if plan:
+                    sc_local = dataclasses.replace(
+                        sampler_cfg,
+                        rec_phase_steps=tuple(s for s, _ in plan),
+                        rec_phase_caps=tuple(c for _, c in plan))
+
             if model is None:
                 batch1 = replicate_complex(padded, 1)
                 default_cfg = ScoreModelConfig(lm_embedding_dim=0, old_score_model=args.old_score_model)
@@ -400,7 +421,7 @@ def main(argv=None):
                         # score the randomized initialization without denoising
                         final, traj = batch, None
                     else:
-                        final, traj = sampling.sample_jit(model, variables, batch, k2, cfg, sampler_cfg,
+                        final, traj = sampling.sample_jit(model, variables, batch, k2, cfg, sc_local,
                                                           args.save_visualisation)
                     pos = np.asarray(final.lig_pos)[:, : len(hc.lig_f)]
                     if args.save_visualisation and traj is not None:

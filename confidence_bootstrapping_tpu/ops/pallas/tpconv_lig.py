@@ -236,11 +236,14 @@ def fused_tpconv_pb(
     )
     lig_tab = _node_table(lig_attr, lig_pos, cdtype)
 
-    # receiver tile: keep tile_l*L + E near the validated ~768-row budget
-    tile_l = L
-    while tile_l > 8 and tile_l * L + E > 768:
-        tile_l //= 2
-    assert L % tile_l == 0 and (tile_l * L) % 8 == 0, (L, tile_l)
+    # receiver tile: keep tile_l*L + E near the validated ~768-row budget.
+    # Mosaic requires the output block's sublane dim (tile_l) to be a
+    # multiple of 8 or the full L, so candidates are L itself plus the
+    # multiples of 8 that divide L (a plain halving loop picked 12 at
+    # L=48, which Mosaic rejects: not %8 and != L).
+    cands = [L] + [t for t in range(L - L % 8, 7, -8) if L % t == 0]
+    tile_l = next((t for t in cands if t * L + E <= 768), cands[-1])
+    assert L % tile_l == 0 and (tile_l == L or tile_l % 8 == 0), (L, tile_l)
 
     w1e = w1[:ns].astype(cdtype)
     w1r = w1[ns : 2 * ns].astype(cdtype)

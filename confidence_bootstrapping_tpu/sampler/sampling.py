@@ -513,8 +513,13 @@ def sample(
     # remaining steps on the compacted view (the trunk's conv_rec cost is
     # linear in the bucket size; see docs/PERF_NOTES.md). A boundary at step
     # 0 with sigma_max radius is an exact padding trim.
+    # gate on the MODEL being coarse-grained, not on the batch carrying
+    # atom fields: evaluator batches carry receptor-atom graphs for the
+    # all-atom confidence model, but the coarse score model never reads
+    # them during sampling, so compacting the residue view stays exact
+    # (the un-compacted atom fields ride along as unused scan invariants)
     plan = _phase_plan(cfg, n)
-    if plan and rec_cache is not None and batch.atom_f is None:
+    if plan and rec_cache is not None and not model_cfg.all_atoms:
         sp = model_cfg.sigma
         trajs = []
         pos = batch.lig_pos

@@ -12,7 +12,7 @@ Receptor geometry is protein-like in EXTENT (not a dense blob): residues
 follow a 3.8 A-step random walk confined to a sphere of radius
 1.3 * 2.2 * n^0.38 (the empirical radius-of-gyration scaling), so the
 sigma-adaptive cross cutoff sees realistic neighbor counts. Ligands
-(15-40 heavy atoms) start near a surface residue.
+(20-24 heavy atoms, one L=24 bucket) start near a surface residue.
 
 Usage:  python scripts/stress_eval.py [--n 85] [--samples 8] [--steps 20]
         [--out docs/artifacts/stress_dockgen_scale.json]
@@ -95,7 +95,12 @@ def main(argv=None):
     for i, n_res in enumerate(sizes):
         name = f"stress{i:03d}"
         names.append(name)
-        write_complex(args.data_dir, name, n_res, n_lig=int(rng.randint(15, 41)), seed=i)
+        # 20-24 heavy atoms: drug-like sizes that all land in the L=24/R=24
+        # ligand bucket, so the run compiles exactly one sample + one
+        # confidence program per receptor bucket (3 of each) instead of a
+        # ligand-bucket cross-product — compile time, not sampling, is the
+        # wall-clock risk at DockGen scale on a cold cache
+        write_complex(args.data_dir, name, n_res, n_lig=int(rng.randint(20, 25)), seed=i)
     gen_wall = time.time() - t0
     print(f"generated {len(names)} complexes in {gen_wall:.1f}s", flush=True)
 

@@ -12,8 +12,8 @@ from confidence_bootstrapping_tpu.models.factory import confidence_model_config,
 from test_score_model import make_random_batch
 
 
-def make_aa_batch(B=2, A=40, KA=4, seed=0):
-    batch = make_random_batch(B=B, seed=seed)
+def make_aa_batch(B=2, A=40, KA=4, seed=0, **kw):
+    batch = make_random_batch(B=B, seed=seed, **kw)
     rng = np.random.RandomState(seed + 100)
     N = batch.rec_pos.shape[1]
     n_real_res = int(np.asarray(batch.rec_mask)[0].sum())

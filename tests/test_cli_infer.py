@@ -42,6 +42,10 @@ def test_infer_mixed_buckets_with_aa_confidence(tmp_path):
         "--data_dir", str(data), "--out_dir", out,
         "--model_dir", score_dir, "--confidence_model_dir", conf_dir,
         "--samples_per_complex", "2", "--inference_steps", "2", "--batch_size", "2",
+        # phased receptor compaction rides along: the batch carries atom
+        # graphs for the AA confidence model but the coarse score model
+        # still compacts (sampler gate is model_cfg.all_atoms)
+        "--rec_phase_plan", "1:32",
     ])
 
     with open(os.path.join(out, "metrics.json")) as f:

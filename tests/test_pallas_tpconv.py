@@ -402,17 +402,23 @@ def test_cross_gather_matches_reference():
 from confidence_bootstrapping_tpu.ops.pallas import tpconv_lig
 
 
-def test_pb_pairs_bonds_matches_reference():
+import pytest
+
+
+@pytest.mark.parametrize("L,E", [(32, 8), (48, 96)])
+def test_pb_pairs_bonds_matches_reference(L, E):
     """Merged dense-pairs + bond-edges kernel vs the explicit XLA path
     (pair conv + bond messages + scatter-add to src). L=32 forces the
     receiver tiling (tile_l=16, 2 programs); bonds crossing tiles land in
-    the right receiver tile."""
+    the right receiver tile. L=48/E=96 is the big-ligand evaluator bucket
+    whose tile used to come out 12 — Mosaic-illegal (not %8, != L) — and
+    now tiles at 8."""
     from confidence_bootstrapping_tpu.ops.irreps import spherical_harmonics
 
     irreps = "8x0e + 3x1o + 3x1e + 2x0o"
     spec = tpconv.ladder_spec(irreps, irreps)
     ns, H = 8, 24
-    B, L, E = 2, 32, 8
+    B = 2
     rng = np.random.RandomState(17)
     lig = jnp.asarray(rng.randn(B, L, spec.in_dim).astype(np.float32))
     pos = jnp.asarray(rng.randn(B, L, 3).astype(np.float32) * 4)

@@ -252,6 +252,29 @@ def test_phased_compaction_mid_scan_crop():
     assert delta < 1.0, delta
 
 
+def test_phased_compaction_with_atom_fields():
+    """Evaluator batches carry receptor-atom graphs for the all-atom
+    confidence model; the coarse score model never reads them, so phased
+    compaction must still apply (gate is model_cfg.all_atoms, not the
+    batch) and reproduce the single-phase poses at a trim boundary."""
+    from test_all_atom_model import make_aa_batch
+
+    batch = make_aa_batch(B=2, pad_rec=8)
+    model = TensorProductScoreModel(SMALL_CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    b0 = sampling.randomize_position(batch, jax.random.PRNGKey(3), tr_sigma_max=2.0)
+    cfg = SamplerConfig(inference_steps=4)
+    base, _ = sampling.sample(model, variables, b0, jax.random.PRNGKey(4), SMALL_CFG, cfg)
+    cfg2 = SamplerConfig(inference_steps=4, rec_phase_steps=(0,), rec_phase_caps=(16,),
+                         rec_phase_margin=1000.0)
+    two, _ = sampling.sample(model, variables, b0, jax.random.PRNGKey(4), SMALL_CFG, cfg2)
+    # the returned batch keeps the full-size receptor AND the atom fields
+    assert two.rec_pos.shape == b0.rec_pos.shape
+    assert two.atom_pos.shape == b0.atom_pos.shape
+    np.testing.assert_allclose(np.asarray(two.lig_pos), np.asarray(base.lig_pos),
+                               atol=2e-3, rtol=0)
+
+
 def test_phase_plan_validation():
     import pytest
     with pytest.raises(ValueError):
