@@ -68,6 +68,25 @@ def inference_epoch(
     """
     sampler_cfg = SamplerConfig(inference_steps=cb.inference_steps)
     kept: List[Tuple[dict, str, float]] = []
+    _plan_cache: Dict[str, SamplerConfig] = {}
+
+    def _sampler_cfg_for(target) -> SamplerConfig:
+        # default-on phased receptor compaction in CB rollouts (VERDICT r3
+        # item 2): derive the per-complex (step, cap) plan once per target
+        # (host-side; caps quantized to powers of two so the compile-variant
+        # count across targets stays tiny)
+        if not sampler_cfg.rec_phase_auto:
+            return sampler_cfg
+        sc = _plan_cache.get(target.name)
+        if sc is None:
+            import dataclasses
+
+            steps_a, caps_a = sampling.derive_phase_plan(
+                model_cfg, sampler_cfg, target.padded["rec_pos"], target.padded["rec_mask"])
+            sc = (dataclasses.replace(sampler_cfg, rec_phase_steps=steps_a, rec_phase_caps=caps_a)
+                  if steps_a else sampler_cfg)
+            _plan_cache[target.name] = sc
+        return sc
     all_rmsds, all_confidences, kept_rmsds = [], [], []
     n_failures = 0
     # per-phase wall budget of the host<->device choreography (SURVEY §7.3-4):
@@ -85,7 +104,7 @@ def inference_epoch(
                 from ..parallel import mesh as meshlib
 
                 batch = meshlib.shard_batch(dp_mesh, batch)
-            final, _ = sampling.sample_jit(model, variables, batch, k2, model_cfg, sampler_cfg)
+            final, _ = sampling.sample_jit(model, variables, batch, k2, model_cfg, _sampler_cfg_for(target))
             L = len(target.hc.lig_f)
             poses = np.asarray(final.lig_pos)[:, :L]
             wall["rollout"] += time.time() - t0

@@ -219,6 +219,16 @@ def dock_one(args):
         no_final_step_noise=args.no_final_step_noise,
         ode=args.ode,
     )
+    # default-on phased receptor compaction (VERDICT r3 item 2): derive the
+    # (step, cap) plan for this receptor from the sigma schedule
+    if sampler_cfg.rec_phase_auto:
+        import dataclasses
+
+        steps_a, caps_a = sampling.derive_phase_plan(
+            cfg, sampler_cfg, padded["rec_pos"], padded["rec_mask"])
+        if steps_a:
+            sampler_cfg = dataclasses.replace(
+                sampler_cfg, rec_phase_steps=steps_a, rec_phase_caps=caps_a)
 
     key = jax.random.PRNGKey(args.seed)
     all_pos, all_conf = [], []

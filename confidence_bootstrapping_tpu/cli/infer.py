@@ -304,7 +304,7 @@ def main(argv=None):
             padded = pad_complex(hc, bucket, lm_dim=0)
 
             sc_local = sampler_cfg
-            if args.rec_phase_plan:
+            if args.rec_phase_plan and args.rec_phase_plan != "off":
                 import dataclasses
 
                 plan = [(int(x.split(":")[0]), int(x.split(":")[1]))
@@ -370,6 +370,18 @@ def main(argv=None):
                     t_max = (np.log(args.pocket_tr_max) - np.log(cfg.sigma.tr_sigma_min)) / (
                         np.log(cfg.sigma.tr_sigma_max) - np.log(cfg.sigma.tr_sigma_min))
                     sampler_cfg = dataclasses.replace(sampler_cfg, t_max=float(t_max))
+
+            # default-on phased receptor compaction (VERDICT r3 item 2): no
+            # explicit --rec_phase_plan -> derive one per complex from the
+            # sigma schedule and this receptor's geometry ('off' disables)
+            if not args.rec_phase_plan and sampler_cfg.rec_phase_auto and not sc_local.rec_phase_steps:
+                import dataclasses
+
+                steps_a, caps_a = sampling.derive_phase_plan(
+                    cfg, sampler_cfg, padded["rec_pos"], padded["rec_mask"])
+                if steps_a:
+                    sc_local = dataclasses.replace(
+                        sampler_cfg, rec_phase_steps=steps_a, rec_phase_caps=caps_a)
 
             # cross-edge cap telemetry at the worst-case radius (weak #3):
             # fraction of in-radius receptor neighbors truncated by the cap

@@ -161,6 +161,11 @@ class SamplerConfig:
     rec_phase_steps: Tuple[int, ...] = ()
     rec_phase_caps: Tuple[int, ...] = ()
     rec_phase_margin: float = 5.0
+    # default-on HOST-side auto derivation of the plan above when it is
+    # empty (sampler.derive_phase_plan; VERDICT r3 item 2 — the reference
+    # crops per step by DEFAULT, utils/sampling.py:100-106). Applied by the
+    # CLIs / CB rollouts per complex, not inside the jitted sampler.
+    rec_phase_auto: bool = True
     # SVGD particle coupling (reference sampling.py:169-218); enabled when
     # svgd_weight_log_0/1 are set
     svgd_weight_log_0: Optional[float] = None

@@ -245,14 +245,79 @@ class TPConv(nn.Module):
         except ValueError:
             return None
 
+    def _train_fused_mode(self, deterministic):
+        """Fused TRAINING path gate (differentiable custom_vjp kernels,
+        ops/pallas/tpconv_train.py): 'auto' on TPU, 'interpret' when
+        CBT_FUSED_TRAIN=interpret (CPU tests), None to use the XLA path.
+        Unlike _fused_mode this is NOT inference-only — it exists precisely
+        for deterministic=False (reference tensor_layers.py:120-217 trains
+        through the same fused TP it infers with)."""
+        import os
+
+        import jax
+
+        if (
+            deterministic
+            or self.depthwise
+            or self.tp_weights_layers != 2
+            or self.is_initializing()
+            or os.environ.get("CBT_DISABLE_FUSED")
+        ):
+            return None
+        env = os.environ.get("CBT_FUSED_TRAIN", "auto")
+        if env == "0":
+            return None
+        if env != "interpret" and jax.default_backend() != "tpu":
+            return None
+        try:
+            from ..ops.pallas import tpconv_g as _tpg
+
+            _tpg.general_layout(str(Irreps(self.in_irreps)), str(Irreps(self.sh_irreps)), str(Irreps(self.out_irreps)))
+        except ValueError:
+            return None
+        return env
+
+    def _fused_train(self, group, sender_attr, edge_sh, edge_attr, edge_mask, tmode, sum_k):
+        """Differentiable fused message op for training: broadcasts the edge
+        tensors to a common [..., K, *] shape, draws the hidden-layer dropout
+        mask (nn.Dropout semantics: keep prob 1-p, scale 1/(1-p)), and calls
+        the custom_vjp kernel. Returns [..., out_dim] (sum_k) or
+        [..., K, out_dim]."""
+        import jax
+
+        from ..ops.pallas import tpconv_train as _tpt
+
+        lead = jnp.broadcast_shapes(
+            sender_attr.shape[:-1], edge_sh.shape[:-1], edge_attr.shape[:-1], edge_mask.shape
+        )
+        K = lead[-1]
+        bt = lambda a: jnp.broadcast_to(a, lead + a.shape[-1:]).reshape((-1, K, a.shape[-1]))
+        mask = jnp.broadcast_to(edge_mask, lead).reshape(-1, K)
+        dmask = None
+        if self.dropout > 0.0:
+            keep = 1.0 - self.dropout
+            H = self.hidden_features or self.n_edge_features
+            bits = jax.random.bernoulli(self.make_rng("dropout"), keep, mask.shape + (H,))
+            dmask = bits.astype(jnp.float32) / keep
+        p = self.edge_mlps[group].variables["params"]
+        out = _tpt.fused_tpconv_train(
+            bt(edge_attr), bt(sender_attr), bt(edge_sh), mask,
+            p["Dense_0"]["kernel"], p["Dense_0"]["bias"], p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+            self.in_irreps, self.sh_irreps, self.out_irreps,
+            dmask=dmask, sum_k=sum_k,
+            use_bf16=(tmode != "interpret"), interpret=(tmode == "interpret"),
+        )
+        return out.reshape((lead[:-1] if sum_k else lead) + (out.shape[-1],))
+
     def conv_nbr(self, group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=True):
         """Messages summed over the trailing neighbor axis: [..., K, *] ->
         ([..., out_dim], counts [...]).
 
         Uses the fused Pallas kernel (ops/pallas/tpconv.py) on TPU for
-        inference with lmax=1 ladder irreps and 2-layer weight MLPs; falls
-        back to the XLA path otherwise (training needs dropout + VJP).
-        sender_attr must be materialized to the full [..., K, D] shape.
+        inference with lmax=1 ladder irreps and 2-layer weight MLPs; in
+        training the differentiable fused kernel (tpconv_train.py); the XLA
+        path otherwise. sender_attr must be materialized to the full
+        [..., K, D] shape.
         """
         from ..ops.pallas import tpconv_g as _tpg
         from ..ops.pallas import tpconv_v3 as _tpconv
@@ -260,6 +325,9 @@ class TPConv(nn.Module):
         counts = jnp.sum(edge_mask, axis=-1).astype(jnp.float32)
         mode = self._fused_mode(deterministic)
         if mode is None:
+            tmode = self._train_fused_mode(deterministic)
+            if tmode is not None:
+                return self._fused_train(group, sender_attr, edge_sh, edge_attr, edge_mask, tmode, sum_k=True), counts
             msg = self.messages(group, sender_attr, edge_sh, edge_attr, edge_mask, deterministic=deterministic)
             return jnp.sum(msg, axis=-2), counts
 
@@ -544,8 +612,13 @@ class TPConv(nn.Module):
         """Per-edge messages for one edge group; masked entries are zero.
 
         sender_attr/edge_sh/edge_attr share leading shape [...]; returns
-        [..., out_dim].
+        [..., out_dim]. In training the differentiable fused kernel applies
+        (tpconv_train.py) unless a per-edge weight is given.
         """
+        if edge_weight is None:
+            tmode = self._train_fused_mode(deterministic)
+            if tmode is not None:
+                return self._fused_train(group, sender_attr, edge_sh, edge_attr, edge_mask, tmode, sum_k=False)
         w = self.edge_mlps[group](edge_attr, deterministic=deterministic)
         if edge_weight is not None:
             w = w * edge_weight[..., None]

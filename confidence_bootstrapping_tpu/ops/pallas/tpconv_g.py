@@ -148,7 +148,14 @@ def _expand_reduce(spec: GeneralSpec):
     return Es, Rs
 
 
-def _kernel_g(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, e_ref, r_ref, out_ref, msg_ref, *, spec: GeneralSpec, cdtype, sum_k=True):
+def _kernel_g(attr_ref, xin_ref, sh_ref, mask_ref, *refs, spec: GeneralSpec, cdtype, sum_k=True, has_dm=False):
+    if has_dm:
+        # training variant: a hidden-layer dropout mask rides along as an
+        # extra input (values {0, 1/keep}; width H or 1), applied after relu
+        dm_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, e_ref, r_ref, out_ref, msg_ref = refs
+    else:
+        dm_ref = None
+        w1_ref, b1_ref, w2_ref, b2_ref, g_ref, e_ref, r_ref, out_ref, msg_ref = refs
     prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else jax.lax.Precision.DEFAULT
     TM = out_ref.shape[0] if sum_k else attr_ref.shape[0]
     K = attr_ref.shape[1]
@@ -169,6 +176,8 @@ def _kernel_g(attr_ref, xin_ref, sh_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_re
     @pl.when(tile_valid)
     def _():
         h = jnp.maximum(jnp.dot(attr, w1_ref[:], preferred_element_type=jnp.float32, precision=prec) + b1_ref[:], 0.0)
+        if dm_ref is not None:
+            h = h * dm_ref[:].reshape(T, dm_ref.shape[-1]).astype(jnp.float32)
         h = h.astype(cdtype)
 
         xa = jnp.concatenate([xin * sh[:, c : c + 1] for c in range(spec.sh_dim)], axis=1)
@@ -243,14 +252,16 @@ def _scatter_canonical(out, spec: GeneralSpec, Dout):
     return full.at[..., perm].set(out)
 
 
-def _call_g(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, irreps_out, tile_m, interpret, sum_k, use_bf16=True):
+def _call_g(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, irreps_out, tile_m, interpret, sum_k, use_bf16=True, dmask=None):
     cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
     M, K = edge_attr.shape[:2]
     (spec, Dout, Mp, tile_m, tile_k, Fe, edge_attr, sender, sh, maskf,
      w1, b1, w2p, b2p, Gj, Ej, Rj) = _prep_g(
         edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, irreps_out, tile_m, cdtype)
+    if dmask is not None and Mp > M:
+        dmask = jnp.pad(dmask, [(0, Mp - M), (0, 0), (0, 0)])
 
-    kernel = functools.partial(_kernel_g, spec=spec, cdtype=cdtype, sum_k=sum_k)
+    kernel = functools.partial(_kernel_g, spec=spec, cdtype=cdtype, sum_k=sum_k, has_dm=dmask is not None)
     if sum_k:
         out_spec = pl.BlockSpec((tile_m, spec.out_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((Mp, spec.out_dim), jnp.float32)
@@ -258,6 +269,10 @@ def _call_g(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, i
         out_spec = pl.BlockSpec((tile_m, tile_k, spec.out_dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((Mp, K, spec.out_dim), jnp.float32)
 
+    dm_specs, dm_args = [], []
+    if dmask is not None:
+        dm_specs = [pl.BlockSpec((tile_m, tile_k, dmask.shape[-1]), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)]
+        dm_args = [dmask.astype(cdtype)]
     out = pl.pallas_call(
         kernel,
         grid=(Mp // tile_m, K // tile_k),
@@ -266,6 +281,7 @@ def _call_g(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, i
             pl.BlockSpec((tile_m, tile_k, spec.in_dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, tile_k, spec.sh_dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, tile_k, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ] + dm_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -278,7 +294,7 @@ def _call_g(edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps_in, irreps_sh, i
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((tile_m * tile_k, spec.out_dim), jnp.float32)],
         interpret=interpret,
-    )(edge_attr, sender, sh, maskf, w1, b1, w2p, b2p, Gj, Ej, Rj)
+    )(edge_attr, sender, sh, maskf, *dm_args, w1, b1, w2p, b2p, Gj, Ej, Rj)
 
     out = out[:M]
     return _scatter_canonical(out, spec, Dout)

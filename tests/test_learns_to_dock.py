@@ -131,3 +131,75 @@ def test_cb_loop_improves_poses():
     assert inf[-1]["mean_rmsd"] < 0.9 * inf[0]["mean_rmsd"], (inf[0], inf[-1])
     assert inf[-1]["n_kept"] >= inf[0]["n_kept"]
     assert inf[-1]["rmsds_lt5"] > inf[0]["rmsds_lt5"]
+
+
+def test_confidence_reranking_lifts_top1():
+    """The paper's headline mechanism, one level above learns-to-dock: a
+    confidence model TRAINED on generated poses must make filtered top-1
+    pose selection beat random ranking on held-out rollouts (reference
+    inference.py:624-716 filtered_* metrics; VERDICT r3 item 5 — this test
+    fails if confidence training is a ranking no-op)."""
+    from confidence_bootstrapping_tpu.confidence import dataset as cdataset
+    from confidence_bootstrapping_tpu.confidence import train as ctrain
+
+    c = _setup()
+    state200 = c["snapshots"][200]
+    v200 = {"params": state200.params, "batch_stats": state200.batch_stats}
+    target = c["target"]
+
+    # pose pool from the PARTIAL model: mixed quality, so ranking matters
+    cache = cdataset.generate_filtering_cache(
+        c["model"], v200, [target], jax.random.PRNGKey(11), CFG,
+        samples_per_complex=48, inference_steps=10,
+    )
+    rmsds = cache[target.name][1]
+    cutoff = float(np.median(rmsds))  # balanced, learnable labels
+    assert 0.5 < cutoff < 10.0, cutoff
+
+    conf_cfg = ScoreModelConfig(ns=16, nv=4, num_conv_layers=2, num_prot_emb_layers=1,
+                                lm_embedding_dim=16, dropout=0.0, sigma=SIGMA,
+                                confidence_mode=True)
+    conf_model = TensorProductScoreModel(conf_cfg)
+    batch0 = replicate_complex(target.padded, 2).set_time(0.0, 0.0, 0.0)
+    conf_vars = jax.jit(conf_model.init)(jax.random.PRNGKey(12), batch0)
+    ds = cdataset.FilteringDataset([target], cache, rmsd_classification_cutoff=cutoff,
+                                   rmsd_classification_upper=None, balance=False, seed=3)
+    conf_state, history = ctrain.train_confidence(
+        conf_model, conf_vars, ds, cache, TrainConfig(lr=3e-3, batch_size=16),
+        n_epochs=30, batches_per_epoch=4, key=jax.random.PRNGKey(13),
+        log=lambda s: None,
+    )
+    trained = {"params": conf_state.params, "batch_stats": conf_state.batch_stats}
+
+    def score(variables, poses):
+        b = replicate_complex(target.padded, len(poses))
+        L = poses.shape[1]
+        lp = b.lig_pos.at[:, :L].set(poses)
+        return np.asarray(sampling.score_confidence(conf_model, variables, b, lig_pos=lp))
+
+    # held-out rollouts: 6 independent batches of 8 poses; rank each batch
+    rng = jax.random.PRNGKey(500)
+    top1_trained, top1_rand, pool_means, pool_all = [], [], [], []
+    for rep in range(6):
+        rng, k = jax.random.split(rng)
+        batch = replicate_complex(target.padded, 8)
+        b0 = sampling.randomize_position(batch, k, CFG.sigma.tr_sigma_max)
+        final, _ = sampling.sample_jit(c["model"], v200, b0, jax.random.fold_in(k, 1),
+                                       CFG, SamplerConfig(inference_steps=10))
+        L = len(target.hc.lig_f)
+        poses = np.asarray(final.lig_pos)[:, :L]
+        ref = np.asarray(target.hc.orig_lig_pos)
+        r = np.sqrt(((poses - ref[None]) ** 2).sum(-1).mean(-1))
+        conf = score(trained, poses)
+        top1_trained.append(r[int(np.argmax(conf))])
+        top1_rand.append(float(r.mean()))  # expectation of a random pick
+        pool_means.append(float(r.mean()))
+        pool_all.extend(r.tolist())
+
+    t1, rnd = float(np.mean(top1_trained)), float(np.mean(top1_rand))
+    print(f"confidence rerank: top1(trained)={t1:.2f} random={rnd:.2f} "
+          f"pool min/med={np.min(pool_all):.2f}/{np.median(pool_all):.2f} cutoff={cutoff:.2f}")
+    # the trained ranking must clearly beat random pose selection
+    assert t1 < 0.85 * rnd, (t1, rnd)
+    # and beat the pool median (it picks from the good half)
+    assert t1 < np.median(pool_all), (t1, np.median(pool_all))
