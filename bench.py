@@ -108,20 +108,29 @@ def _measure():
     n_poses = int(os.environ.get("BENCH_POSES", 32 if backend != "cpu" else 8))
     steps = int(os.environ.get("BENCH_STEPS", 20))
 
+    # BENCH_LM_DIM=1280: the ESM-sized architecture (both pretrained
+    # manifests require 1280-d receptor embeddings, reference
+    # models/score_model.py:98-99) with random embeddings — validates that
+    # poses/s and the N=512 bucket memory hold with [B, N, 1280] rec_lm
+    lm_dim = int(os.environ.get("BENCH_LM_DIM", 0))
     ref = "/root/reference/data/1a0q"
     if os.path.isdir(ref):
+        import numpy as np
+
         mol = mol_io.read_molecule(f"{ref}/1a0q_ligand.sdf")
         st = mol_io.parse_pdb(f"{ref}/1a0q_protein_processed.pdb")
         hc = featurize.build_host_complex("1a0q", mol, st)
+        if lm_dim:
+            hc = hc._replace(rec_lm=np.random.RandomState(0).randn(len(hc.rec_f), lm_dim).astype(np.float32))
         bucket = pick_bucket(len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src), len(hc.rec_f))
-        padded = pad_complex(hc, bucket, lm_dim=0)
+        padded = pad_complex(hc, bucket, lm_dim=lm_dim)
         batch = replicate_complex(padded, n_poses)
     else:  # fallback: synthetic complex of the same scale
         from __graft_entry__ import _synthetic_batch
 
-        batch = _synthetic_batch(B=n_poses, L=24, E=48, R=16, N=512, lm_dim=0)
+        batch = _synthetic_batch(B=n_poses, L=24, E=48, R=16, N=512, lm_dim=lm_dim)
 
-    cfg = ScoreModelConfig(lm_embedding_dim=0)
+    cfg = ScoreModelConfig(lm_embedding_dim=lm_dim)
     model = TensorProductScoreModel(cfg)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     # phased receptor compaction (sampler/sampling.py): from step 8
@@ -134,8 +143,11 @@ def _measure():
     phases = {}
     N = batch.rec_pos.shape[1]
     if os.environ.get("BENCH_PHASES", "1") == "1" and backend != "cpu":
-        # BENCH_PLAN="8:256,14:128" overrides for phase-plan experiments
-        plan_s = os.environ.get("BENCH_PLAN", "8:256")
+        # BENCH_PLAN="8:256,14:128" overrides for phase-plan experiments.
+        # Default = the round-4 sweep's best (59.4 poses/s vs 50.3 at 8:256;
+        # docs/PERF_NOTES.md round-4 sweep + scripts/phase_parity.py
+        # distribution checks)
+        plan_s = os.environ.get("BENCH_PLAN", "6:256,12:128")
         plan = [(int(p.split(":")[0]), int(p.split(":")[1])) for p in plan_s.split(",")]
         plan = [(s, c) for s, c in plan if c < N]
         if plan:
@@ -209,7 +221,9 @@ def main():
     env = dict(os.environ, CBT_BENCH_CHILD="1")
     plans = []
     if tpu_up:
-        plans.append(("tpu", env, 240))
+        # budget covers a COLD compile of the 20-step scan (~6-8 min when
+        # sampler code changed since the cached entry); warm runs take <60 s
+        plans.append(("tpu", env, 900))
     cpu_env = dict(env, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="", CBT_BENCH_FORCE_CPU="1")
     plans.append(("cpu", cpu_env, 480))
 

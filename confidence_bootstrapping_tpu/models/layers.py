@@ -378,11 +378,16 @@ class TPConv(nn.Module):
             and self.n_edge_features == 3 * ns
             and N % 32 == 0
         )
-        # in-kernel gather for lmax=2 kNN groups: measured WIN at compacted
-        # tables (confidence fwd B=8 79.9 -> 73.2 ms at N=256/A=2048) and
-        # neutral-to-slightly-worse at full buckets (97.1 -> 97.9 ms at
-        # A=4096) — the one-hot gather matmul scales with the table size.
-        # auto = fused when the node table is <= 2048 rows; 1/0 force.
+        # in-kernel gather for lmax=2 kNN groups — TPU-VALIDATED (v5e):
+        # numerics pinned by tests/test_pallas_tpconv.py::
+        # test_rec_g_gather_matches_reference / test_cross_g_gather_matches_
+        # reference plus an on-TPU gate=0-vs-auto parity check at the crop
+        # buckets (docs/PERF_NOTES.md round 3); perf measured a WIN at
+        # compacted tables (confidence fwd B=8 79.9 -> 73.2 ms at
+        # N=256/A=2048) and neutral-to-slightly-worse at full buckets
+        # (97.1 -> 97.9 ms at A=4096) — the one-hot gather matmul scales
+        # with the table size. auto = fused when the node table is <= 2048
+        # rows; 1/0 force either path.
         gate = os.environ.get("CBT_FUSED_REC_G", "auto")
         if (
             not use_fused
