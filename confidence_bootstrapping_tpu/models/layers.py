@@ -408,8 +408,36 @@ class TPConv(nn.Module):
             )
             return out, counts
         if not use_fused:
+            tmode = self._train_fused_mode(deterministic)
+            if (
+                tmode is not None
+                and sh_lmax <= 2
+                and self.n_edge_features == 3 * ns
+                and N % 8 == 0
+            ):
+                # training with the in-kernel-gather kernel (custom_vjp,
+                # tpconv_train.fused_tpconv_rec_train): no [B, N, K, D]
+                # sender materialization in the forward
+                from ..ops.pallas import tpconv_train as _tpt
+
+                dmask = None
+                if self.dropout > 0.0:
+                    keep = 1.0 - self.dropout
+                    H = self.hidden_features or self.n_edge_features
+                    bits = jax.random.bernoulli(self.make_rng("dropout"), keep, nbr.shape + (H,))
+                    # bf16 storage halves the [B, N, K, H] mask's HBM traffic;
+                    # fwd kernel and bwd consume the SAME bf16 values
+                    dmask = (bits * (1.0 / keep)).astype(jnp.bfloat16)
+                p = self.edge_mlps[group].variables["params"]
+                out = _tpt.fused_tpconv_rec_train(
+                    node_attr, pos, nbr, edge_emb, sig, nbr_mask,
+                    p["Dense_0"]["kernel"], p["Dense_0"]["bias"], p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+                    self.in_irreps, self.sh_irreps, self.out_irreps, ns,
+                    dmask=dmask, use_bf16=(tmode != "interpret"), interpret=(tmode == "interpret"),
+                )
+                return out, counts
             # falls through to conv_nbr, which itself applies the fused
-            # generalized kernel (tpconv_g) for lmax=2 layouts
+            # differentiable kernel in training / tpconv_g at inference
             sender = gather_nodes(node_attr, nbr)
             spos = gather_nodes(pos, nbr)
             vec = spos - pos[:, :, None, :]

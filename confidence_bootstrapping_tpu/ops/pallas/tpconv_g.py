@@ -382,7 +382,8 @@ def _pipeline_g(h, xa, mask, w2_ref, b2, g_ref, e_ref, r_ref, T, spec, cdtype, p
 
 def _kernel_rec_g(nbr_ref, emb_ref, mask_ref, node_ref, sig_ref,
                   w1e_ref, w1r_ref, w1s_ref, b1_ref, w2_ref, b2_ref, g_ref, e_ref, r_ref,
-                  out_ref, *, spec: GeneralSpec, ns: int, tile_n: int, cdtype, hetero: bool, recv_ref=None):
+                  out_ref, *, spec: GeneralSpec, ns: int, tile_n: int, cdtype, hetero: bool, recv_ref=None,
+                  dm_ref=None):
     prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else jax.lax.Precision.DEFAULT
     N = node_ref.shape[1]
     K = nbr_ref.shape[2]
@@ -419,7 +420,11 @@ def _kernel_rec_g(nbr_ref, emb_ref, mask_ref, node_ref, sig_ref,
         hr = jnp.dot(recvf[:, :ns].astype(cdtype), w1r_ref[:], preferred_element_type=jnp.float32, precision=prec)
         h = h + jnp.broadcast_to(hr[:, None, :], (tile_n, K, hr.shape[-1])).reshape(T, hr.shape[-1])
         h = h + jnp.dot(sender[:, :ns], w1s_ref[:], preferred_element_type=jnp.float32, precision=prec)
-        h = jnp.maximum(h + b1_ref[:], 0.0).astype(cdtype)
+        h = jnp.maximum(h + b1_ref[:], 0.0)
+        if dm_ref is not None:
+            # training: hidden-layer dropout mask ({0, 1/keep}) rides along
+            h = h * dm_ref[0].reshape(T, dm_ref.shape[-1]).astype(jnp.float32)
+        h = h.astype(cdtype)
 
         xa = jnp.concatenate([sender * sh[:, c : c + 1] for c in range(spec.sh_dim)], axis=1)
         msgs = _pipeline_g(h, xa, mask, w2_ref, b2_ref[:], g_ref, e_ref, r_ref, T, spec, cdtype, prec)
@@ -464,11 +469,13 @@ def fused_tpconv_rec_g(
     tile_n: int | None = None,
     interpret: bool = False,
     use_bf16: bool = True,
+    dmask=None,
 ):
     """Generalized v4: message sums [B, N, Dout] for a kNN node group with
     the neighbor gather, spherical harmonics (lmax<=2), edge-attr concat and
     sigma add all in-kernel. Semantics match gather + conv_nbr on the
-    general path (fused_tpconv_nbr_g)."""
+    general path (fused_tpconv_nbr_g). dmask: optional [B, N, K, H'] hidden
+    dropout mask (training path, tpconv_train.fused_tpconv_rec_train)."""
     cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
     B, N, Din = node_attr.shape
     K = nbr.shape[2]
@@ -491,9 +498,22 @@ def fused_tpconv_rec_g(
     w1r = w1[Fe : Fe + ns].astype(cdtype)
     w1s = w1[Fe + ns :].astype(cdtype)
 
-    kernel = functools.partial(
+    base = functools.partial(
         _kernel_rec_g, spec=spec, ns=ns, tile_n=tile_n, cdtype=cdtype, hetero=False,
     )
+    dm_specs, dm_args = [], []
+    if dmask is None:
+        kernel = base
+    else:
+        Hd = dmask.shape[-1]
+        dm_specs = [pl.BlockSpec((1, tile_n, K, Hd), lambda b, n: (b, n, 0, 0), memory_space=pltpu.VMEM)]
+        dm_args = [dmask.astype(cdtype)]
+
+        def kernel(nbr_r, emb_r, mask_r, node_r, sig_r, w1e_r, w1r_r, w1s_r, b1_r,
+                   w2_r, b2_r, g_r, e_r, r_r, dm_r, out_r):
+            base(nbr_r, emb_r, mask_r, node_r, sig_r, w1e_r, w1r_r, w1s_r, b1_r,
+                 w2_r, b2_r, g_r, e_r, r_r, out_r, dm_ref=dm_r)
+
     out = pl.pallas_call(
         kernel,
         grid=(B, N // tile_n),
@@ -512,14 +532,14 @@ def fused_tpconv_rec_g(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        ] + dm_specs,
         out_specs=pl.BlockSpec((1, tile_n, spec.out_dim), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, spec.out_dim), jnp.float32),
         interpret=interpret,
     )(
         nbr.astype(jnp.float32)[..., None], edge_emb.astype(cdtype), mask.astype(jnp.float32)[..., None],
         node_tab, sig.astype(jnp.float32)[:, None, :],
-        w1e, w1r, w1s, b1, w2p, b2p, Gj, Ej, Rj,
+        w1e, w1r, w1s, b1, w2p, b2p, Gj, Ej, Rj, *dm_args,
     )
     return _scatter_canonical(out, spec, Dout)
 

@@ -490,16 +490,20 @@ def derive_phase_plan(
         c //= 2
     cands = []  # full cascade: earliest viable step per cap
     prev_step = 0
+    # step grid of 4: the scan-segment boundaries are STATIC, so every
+    # distinct step tuple is a separate XLA compile — a coarse grid keeps
+    # the compile-variant count across a dataset tiny (measured: per-variant
+    # sampler compiles dominate dataset-eval wall time on a cold cache)
     for cap in caps:
         s_found = None
-        for s in range(prev_step, n - 3, 2):  # keep >= 4 steps per phase
+        for s in range(prev_step, n - 3, 4):
             if med_count(s) <= cap:
                 s_found = s
                 break
         if s_found is None:
             break
         cands.append((s_found, cap))
-        prev_step = s_found + 2
+        prev_step = s_found + 4
 
     def node_steps(plan):
         total, n_cur, prev = 0, N, 0

@@ -103,6 +103,36 @@ def _measure():
     out["score_train_step_ms"] = round(dt * 1e3, 2)
     out["score_loss"] = float(metrics["loss"])
 
+    if os.environ.get("TRBENCH_SPLIT"):
+        # forward(loss)-only timing: separates the fused fwd from the
+        # chunked-XLA backward + optimizer to aim the next optimization
+        import time as _time
+
+        from confidence_bootstrapping_tpu.train.diffusion import apply_noise
+        from confidence_bootstrapping_tpu.train.losses import score_matching_loss
+
+        @jax.jit
+        def fwd_only(params, bs, b, key):
+            k_noise, k_drop = jax.random.split(key)
+            noised, targets = apply_noise(b, k_noise, cfg.sigma, tcfg, cfg.no_torsion)
+            o, _ = model.apply({"params": params, "batch_stats": bs}, noised,
+                               deterministic=False, use_running_average=False,
+                               rngs={"dropout": k_drop}, mutable=["batch_stats"])
+            lb = score_matching_loss(o.tr_pred, o.rot_pred, o.tor_pred, targets, noised,
+                                     cfg.sigma, tcfg.tr_weight, tcfg.rot_weight, tcfg.tor_weight,
+                                     cfg.no_torsion)
+            return lb.loss
+
+        l = fwd_only(state.params, state.batch_stats, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(l)
+        ts = []
+        for _ in range(n_runs):
+            t0 = _time.perf_counter()
+            l = fwd_only(state.params, state.batch_stats, batch, jax.random.PRNGKey(1))
+            jax.block_until_ready(l)
+            ts.append(_time.perf_counter() - t0)
+        out["score_fwd_only_ms"] = round(min(ts) * 1e3, 2)
+
     # ---- all-atom confidence train step (pretrained manifest shapes)
     ccfg = ScoreModelConfig(ns=24, nv=6, sh_lmax=2, lm_embedding_dim=lm_dim,
                             all_atoms=True, confidence_mode=True, crop_beyond=20.0)

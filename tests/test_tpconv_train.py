@@ -170,3 +170,73 @@ def test_score_model_train_grads_fused_vs_xla(monkeypatch):
             np.asarray(af), np.asarray(ax), rtol=2e-3, atol=2e-4,
             err_msg=jax.tree_util.keystr(px),
         )
+
+
+def _xla_rec_ref(node_attr, pos, nbr, edge_emb, sig, mask, dmask, w1, b1, w2, b2,
+                 irreps, sh_irr, ns, lmax):
+    from confidence_bootstrapping_tpu.ops.graph_builders import gather_nodes
+
+    tp = WeightedTensorProduct(irreps, sh_irr, irreps)
+    sender = gather_nodes(node_attr, nbr)
+    spos = gather_nodes(pos, nbr)
+    vec = spos - pos[:, :, None, :]
+    sh = spherical_harmonics(lmax, vec)
+    B, N, K = nbr.shape
+    recv = jnp.broadcast_to(node_attr[:, :, None, :ns], (B, N, K, ns))
+    eattr = jnp.concatenate([edge_emb + sig[:, None, None, :], recv, sender[..., :ns]], axis=-1)
+    h = jax.nn.relu(eattr @ w1 + b1)
+    if dmask is not None:
+        h = h * dmask
+    w = h @ w2 + b2
+    msg = tp(sender, sh, w)
+    msg = jnp.where(mask[..., None], msg, 0.0)
+    return jnp.sum(msg, axis=2)
+
+
+@pytest.mark.parametrize("lmax,dropout", [(1, False), (2, False), (1, True)])
+def test_rec_train_op_grads_match_xla(lmax, dropout):
+    """fused_tpconv_rec_train (in-kernel gather fwd + XLA chunked bwd with
+    node-table scatter + sh-jacobian d_pos) vs jax.grad of the XLA
+    composition, interpret mode, f32."""
+    from confidence_bootstrapping_tpu.ops.pallas import tpconv_train as tpt
+
+    irreps = "8x0e + 3x1o + 3x1e + 2x0o"
+    sh_irr = "1x0e + 1x1o" if lmax == 1 else "1x0e + 1x1o + 1x2e"
+    ns, B, N, K = 8, 2, 16, 4
+    Fe, H = 3 * ns, 20
+    tp = WeightedTensorProduct(irreps, sh_irr, irreps)
+    rng = np.random.RandomState(7)
+    node_attr = jnp.asarray(rng.randn(B, N, tp.irreps_in.dim).astype(np.float32))
+    pos = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 5)
+    nbr = jnp.asarray(rng.randint(0, N, (B, N, K)).astype(np.int32))
+    edge_emb = jnp.asarray(rng.randn(B, N, K, ns).astype(np.float32))
+    sig = jnp.asarray(rng.randn(B, ns).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, N, K) > 0.3)
+    w1 = jnp.asarray(rng.randn(Fe, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(H, tp.weight_numel).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(tp.weight_numel).astype(np.float32) * 0.1)
+    dmask = None
+    if dropout:
+        dmask = jnp.asarray((rng.rand(B, N, K, H) > 0.25).astype(np.float32) / 0.75)
+    cot = jnp.asarray(rng.randn(B, N, tp.irreps_out.dim).astype(np.float32))
+
+    def loss_ref(node_attr, pos, edge_emb, sig, w1, b1, w2, b2):
+        out = _xla_rec_ref(node_attr, pos, nbr, edge_emb, sig, mask, dmask,
+                           w1, b1, w2, b2, irreps, sh_irr, ns, lmax)
+        return jnp.sum(out * cot)
+
+    def loss_fused(node_attr, pos, edge_emb, sig, w1, b1, w2, b2):
+        out = tpt.fused_tpconv_rec_train(
+            node_attr, pos, nbr, edge_emb, sig, mask, w1, b1, w2, b2,
+            irreps, sh_irr, irreps, ns, dmask=dmask, use_bf16=False, interpret=True,
+        )
+        return jnp.sum(out * cot)
+
+    args = (node_attr, pos, edge_emb, sig, w1, b1, w2, b2)
+    names = ["node_attr", "pos", "edge_emb", "sig", "w1", "b1", "w2", "b2"]
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=tuple(range(8)))(*args)
+    v_fus, g_fus = jax.value_and_grad(loss_fused, argnums=tuple(range(8)))(*args)
+    np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=5e-4)
+    for name, a, b in zip(names, g_fus, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3, err_msg=name)
