@@ -71,7 +71,7 @@ def _bwd_layout(irin: str, irsh: str, irout: str):
 
 
 def _edge_bwd(irin: str, irsh: str, irout: str, use_bf16: bool,
-              a2, x2, s2, g2, dm2, w1, b1, w2, b2):
+              a2, x2, s2, g2, dm2, w1, b1, w2, b2, interpret: bool = False):
     """Shared per-edge backward core over flattened edges.
 
     a2 [T, Fe] edge features, x2 [T, Din] senders, s2 [T, Dsh] sh, g2
@@ -79,7 +79,13 @@ def _edge_bwd(irin: str, irsh: str, irout: str, use_bf16: bool,
     already applied, dm2 None or [T, H'] dropout mask. Returns
     (d_a2, d_x2, d_s2, d_w1, d_b1, d_w2, d_b2) with weight grads mapped back
     to the canonical flat layout.
+
+    Runs the Pallas backward kernel (tpconv_bwd.py) on TPU — the whole
+    per-edge backward stays in VMEM — with the chunked-XLA scan as the
+    fallback/reference path (CBT_PALLAS_BWD=0 forces it).
     """
+    import os
+
     spec, Dout, w_idx, w_scale, inv, perm, G, E, R = _bwd_layout(irin, irsh, irout)
     cd = jnp.bfloat16 if use_bf16 else jnp.float32
     prec = jax.lax.Precision.DEFAULT if use_bf16 else jax.lax.Precision.HIGHEST
@@ -102,6 +108,19 @@ def _edge_bwd(irin: str, irsh: str, irout: str, use_bf16: bool,
     Ej = jnp.asarray(E, dtype=cd)
     Rj = jnp.asarray(R, dtype=cd)
     w1cd = w1.astype(cd)
+
+    env = os.environ.get("CBT_PALLAS_BWD", "auto")
+    if env != "0" and (interpret or jax.default_backend() == "tpu"):
+        from . import tpconv_bwd
+
+        d_a2, d_x2, d_s2, dw1, db1, dw2p, db2p = tpconv_bwd.edge_bwd_pallas(
+            spec, a2, x2, s2, g2, dm2, w1, b1, w2p, b2p, Gj, Ej, Rj,
+            use_bf16=use_bf16, interpret=interpret,
+        )
+        inv_j = jnp.asarray(inv)
+        scale_j = jnp.asarray(w_scale)
+        return (d_a2, d_x2, d_s2, dw1, db1,
+                (dw2p * scale_j[None, :])[:, inv_j], (db2p * scale_j)[inv_j])
 
     chunk = T if T <= 2 * _CHUNK else _CHUNK
     padT = (-T) % chunk
@@ -228,7 +247,7 @@ def _make_op(irin: str, irsh: str, irout: str, sum_k: bool, has_dmask: bool, use
             edge_attr.reshape(T, Fe), sender.reshape(T, spec.in_dim),
             sh.reshape(T, spec.sh_dim), ge.reshape(T, spec.out_dim),
             dmask.reshape(T, dmask.shape[-1]) if has_dmask else None,
-            w1, b1, w2, b2,
+            w1, b1, w2, b2, interpret=interpret,
         )
         c = lambda a, ref: a.astype(ref.dtype)
         return (
@@ -320,7 +339,7 @@ def _make_rec_op(irin: str, irsh: str, irout: str, ns: int, has_dmask: bool, use
             eattr.reshape(T, Fe + 2 * ns), sender.reshape(T, Din),
             sh.reshape(T, spec.sh_dim), ge,
             dmask.reshape(T, dmask.shape[-1]) if has_dmask else None,
-            w1, b1, w2, b2,
+            w1, b1, w2, b2, interpret=interpret,
         )
         d_eattr = d_a2.reshape(B, N, K, Fe + 2 * ns)
         d_sender = d_x2.reshape(B, N, K, Din)

@@ -240,3 +240,30 @@ def test_rec_train_op_grads_match_xla(lmax, dropout):
     np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=5e-4)
     for name, a, b in zip(names, g_fus, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_xla_bwd_fallback_matches_pallas_bwd(monkeypatch):
+    """The chunked-XLA backward (CBT_PALLAS_BWD=0) and the Pallas backward
+    kernel produce identical gradients (both are live paths: XLA is the
+    CPU/fallback route, Pallas the TPU route)."""
+    irreps, sh_irr = "8x0e + 3x1o + 3x1e + 2x0o", "1x0e + 1x1o"
+    edge_attr, sender, sh, mask, w1, b1, w2, b2 = _case(irreps, 1, seed=21)
+    cot = jnp.asarray(np.random.RandomState(22).randn(
+        edge_attr.shape[0], WeightedTensorProduct(irreps, sh_irr, irreps).irreps_out.dim).astype(np.float32))
+
+    def loss(edge_attr, sender, w1, b1, w2, b2):
+        out = tpconv_train.fused_tpconv_train(
+            edge_attr, sender, sh, mask, w1, b1, w2, b2, irreps, sh_irr, irreps,
+            sum_k=True, use_bf16=False, interpret=True,
+        )
+        return jnp.sum(out * cot)
+
+    args = (edge_attr, sender, w1, b1, w2, b2)
+    monkeypatch.setenv("CBT_PALLAS_BWD", "0")
+    tpconv_train._make_op.cache_clear()
+    g_xla = jax.grad(loss, argnums=tuple(range(6)))(*args)
+    monkeypatch.setenv("CBT_PALLAS_BWD", "auto")
+    tpconv_train._make_op.cache_clear()
+    g_pal = jax.grad(loss, argnums=tuple(range(6)))(*args)
+    for a, b in zip(g_pal, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
