@@ -539,12 +539,19 @@ def main(argv=None):
     m["poses_per_sec"] = round(float(len(names) * N / max(run_times.sum(), 1e-9)), 3)
     if overflow_stats:
         drop = float(np.mean([s["dropped_edge_frac"] for s in overflow_stats]))
+        drop_f = float(np.mean([s.get("dropped_edge_frac_final", 0.0) for s in overflow_stats]))
         m["cross_cap"] = int(getattr(cfg, "cross_cap", 48))
         m["cross_cap_dropped_edge_frac"] = round(drop, 5)
         m["cross_cap_overflow_atom_frac"] = round(float(np.mean([s["overflow_atom_frac"] for s in overflow_stats])), 5)
-        if drop > 0.01:
-            print(f"WARNING: cross-edge cap {m['cross_cap']} truncates {drop:.1%} of in-radius "
-                  f"edges at sigma_max - consider --cross_cap {2 * m['cross_cap']}")
+        # final-step (sigma_min) cutoff: the quality-relevant truncation —
+        # late steps refine the pose; sigma_max drops are structural on big
+        # receptors (see sampler.cross_overflow_stats)
+        m["cross_cap_dropped_edge_frac_final"] = round(drop_f, 5)
+        m["cross_cap_overflow_atom_frac_final"] = round(
+            float(np.mean([s.get("overflow_atom_frac_final", 0.0) for s in overflow_stats])), 5)
+        if drop_f > 0.01:
+            print(f"WARNING: cross-edge cap {m['cross_cap']} truncates {drop_f:.1%} of in-radius "
+                  f"edges even at the FINAL-step cutoff - consider --cross_cap {2 * m['cross_cap']}")
     with open(f"{args.out_dir}/metrics.json", "w") as f:
         json.dump(m, f, indent=2)
     try:  # ECDF plot of per-complex best/top-confidence RMSDs (reference wandb figures)

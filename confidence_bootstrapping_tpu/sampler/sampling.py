@@ -316,18 +316,36 @@ def cross_overflow_stats(batch: ComplexBatch, model_cfg: ScoreModelConfig):
     from ..ops.graph_builders import radius_mask
 
     sp = model_cfg.sigma
-    cutoff = sp.tr_sigma_max * 3 + 20 if model_cfg.dynamic_max_cross else model_cfg.cross_max_distance
-    m, _ = radius_mask(batch.lig_pos, batch.rec_pos, cutoff, batch.lig_mask, batch.rec_mask)
-    counts = jnp.sum(m, axis=-1)  # [B, L] true in-radius neighbors
     cap = min(batch.rec_pos.shape[1], model_cfg.cross_cap)
     real = batch.lig_mask
     n_atoms = jnp.maximum(jnp.sum(real), 1)
-    overflow_atom_frac = jnp.sum((counts > cap) & real) / n_atoms
-    dropped = jnp.sum(jnp.maximum(counts - cap, 0) * real)
-    total = jnp.maximum(jnp.sum(counts * real), 1)
+
+    def stats_at(cutoff):
+        m, _ = radius_mask(batch.lig_pos, batch.rec_pos, cutoff, batch.lig_mask, batch.rec_mask)
+        counts = jnp.sum(m, axis=-1)  # [B, L] true in-radius neighbors
+        overflow_atom_frac = jnp.sum((counts > cap) & real) / n_atoms
+        dropped = jnp.sum(jnp.maximum(counts - cap, 0) * real)
+        total = jnp.maximum(jnp.sum(counts * real), 1)
+        return overflow_atom_frac.astype(jnp.float32), (dropped / total).astype(jnp.float32)
+
+    if model_cfg.dynamic_max_cross:
+        worst, final = sp.tr_sigma_max * 3 + 20, sp.tr_sigma_min * 3 + 20
+    else:
+        worst = final = model_cfg.cross_max_distance
+    oa_w, de_w = stats_at(worst)
+    # the final-step cutoff is the quality-relevant one: late denoising steps
+    # refine the pose, and drops there change the scores the pose converges
+    # under. At sigma_max the radius is ~77 A and a large receptor has
+    # THOUSANDS of in-radius residues — nearest-cap truncation there is
+    # structural (the reference mean-aggregates them all,
+    # models/score_model.py:568-573 max_num_neighbors=10000; this rebuild's
+    # fixed-shape cap keeps the nearest cross_cap, docs/MIGRATING.md).
+    oa_f, de_f = stats_at(final)
     return dict(
-        overflow_atom_frac=overflow_atom_frac.astype(jnp.float32),
-        dropped_edge_frac=(dropped / total).astype(jnp.float32),
+        overflow_atom_frac=oa_w,
+        dropped_edge_frac=de_w,
+        overflow_atom_frac_final=oa_f,
+        dropped_edge_frac_final=de_f,
     )
 
 
