@@ -72,7 +72,39 @@ class CBBuffer:
         return dict(item.padded)
 
     def sample_batch(self, batch_size: int) -> List[dict]:
-        return [self.get(i) for i in range(batch_size)]
+        """One SINGLE-BUCKET training batch.
+
+        Device batches must stack same-shape arrays, but a CB cluster's
+        complexes can land in different padding buckets (the reference has
+        no buckets — dynamic PyG graphs batch freely). Pick a bucket with
+        probability proportional to its items' total sampling weight, then
+        draw the whole batch within it: distributionally the same
+        confidence-weighted sampling, restricted per batch (alternating
+        across batches) instead of per item.
+        """
+        if not self.complexes:
+            return []
+        buckets: Dict[tuple, List[int]] = {}
+        for i, it in enumerate(self.complexes):
+            buckets.setdefault(self._bucket_key(it.padded), []).append(i)
+        if len(buckets) == 1:
+            return [self.get(i) for i in range(batch_size)]
+        conf = np.asarray([c.confidence for c in self.complexes])
+        w = np.exp((conf - conf.max()) * self.temperature)
+        keys = list(buckets.keys())
+        bw = np.asarray([w[buckets[k]].sum() for k in keys])
+        key = keys[self.rng.choice(len(keys), p=bw / bw.sum())]
+        idxs = buckets[key]
+        if self.fixed_length is None:
+            picks = [idxs[i % len(idxs)] for i in range(batch_size)]
+        else:
+            ww = w[idxs] / w[idxs].sum()
+            picks = self.rng.choice(idxs, size=batch_size, p=ww)
+        return [dict(self.complexes[i].padded) for i in picks]
+
+    @staticmethod
+    def _bucket_key(padded: dict) -> tuple:
+        return tuple(np.asarray(v).shape for v in padded.values() if hasattr(v, "shape"))
 
     def add_complexes(self, new_items: Sequence[Tuple[dict, str, float]]):
         """new_items: (padded complex with sampled pose, name, confidence)."""

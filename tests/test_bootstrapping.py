@@ -233,3 +233,33 @@ def test_finetune_cli_data_parallel(tmp_path):
     ])
     assert len(history) == 1
     assert history[0]["inference"]["n_kept"] == 8
+
+
+def test_buffer_mixed_bucket_batches():
+    """A CB cluster whose complexes land in DIFFERENT padding buckets must
+    still produce stackable single-bucket training batches (the reference's
+    dynamic PyG graphs batch freely; our device batches cannot mix shapes).
+    sample_batch picks a bucket weight-proportionally per batch."""
+    import numpy as np
+
+    def item(name, n_res, conf):
+        padded = {"lig_pos": np.zeros((8, 3), np.float32),
+                  "rec_pos": np.zeros((n_res, 3), np.float32)}
+        return (padded, name, conf)
+
+    buf = CBBuffer(cluster_ligands=["AAAA_1", "BBBB_1"], fixed_length=16, temperature=1.0)
+    buf.add_complexes([item("AAAA_1", 16, 0.5) for _ in range(3)]
+                      + [item("BBBB_1", 32, 0.4) for _ in range(3)])
+    seen = set()
+    for _ in range(20):
+        batch = buf.sample_batch(4)
+        assert len(batch) == 4
+        shapes = {p["rec_pos"].shape for p in batch}
+        assert len(shapes) == 1, shapes  # single bucket per batch
+        seen |= shapes
+    assert seen == {(16, 3), (32, 3)}  # both buckets get trained over time
+
+    # single-bucket buffers keep the exact old behavior
+    buf1 = CBBuffer(cluster_ligands=["AAAA_1"], fixed_length=8)
+    buf1.add_complexes([item("AAAA_1", 16, 0.1) for _ in range(2)])
+    assert len(buf1.sample_batch(8)) == 8
