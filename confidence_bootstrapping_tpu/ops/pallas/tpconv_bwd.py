@@ -47,6 +47,7 @@ from .tpconv_g import LANE
 
 def _kernel_bwd(attr_ref, x_ref, sh_ref, g_ref, dm_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref, gmat_ref, e_ref, r_ref,
+                qrep_ref, qsum_ref,
                 da_ref, dx_ref, dsh_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                 *, spec, cdtype, has_dm):
     prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else jax.lax.Precision.DEFAULT
@@ -78,23 +79,28 @@ def _kernel_bwd(attr_ref, x_ref, sh_ref, g_ref, dm_ref,
     d_cp_parts = []
     col = 0
     e_ofs = 0
+    out_dim = g_ref.shape[1]
     for gi, (_, d3, mul, fan, w_ofs, numel_pad, stripe0) in enumerate(spec.groups):
         w_g = dot(h, w2_ref[:, w_ofs : w_ofs + numel_pad]) + b2_ref[w_ofs : w_ofs + numel_pad]
-        gg = g_ref[:, col : col + d3 * mul]
-        # stack the d3 components as rows: [d3*T, mul] padded to LANE
-        ggs = [gg[:, c * mul : (c + 1) * mul] for c in range(d3)]
-        ggc = jnp.concatenate(ggs, axis=0) if d3 > 1 else ggs[0]
-        if mul < LANE:
-            ggc = jnp.pad(ggc, ((0, 0), (0, LANE - mul)))
-        d_z = dot(ggc, r_ref[e_ofs : e_ofs + numel_pad, :].T)  # [d3T, n]
-        cps = [cfull[:, (stripe0 + c) * LANE : (stripe0 + c + 1) * LANE] for c in range(d3)]
-        cp = jnp.concatenate(cps, axis=0) if d3 > 1 else cps[0]
-        cexp = dot(cp, e_ref[:, e_ofs : e_ofs + numel_pad])
-        d_w = jnp.sum((d_z * cexp).reshape(d3, T, numel_pad), axis=0)
-        wz = jnp.concatenate([w_g] * d3, axis=0) if d3 > 1 else w_g
-        d_cp = dot((d_z * wz), e_ref[:, e_ofs : e_ofs + numel_pad].T)  # [d3T, 128]
+        # Per-component loop: Mosaic rejects dim-0 concatenation of lane
+        # slices whose column offsets differ ("result/input offset mismatch
+        # on non-concat dimension"), so instead of row-stacking the d3
+        # components into one [d3*T, .] matmul, each component's mul-wide
+        # block of g is extracted at lane offset 0 via an exact f32 matmul
+        # against an iota-built 0/1 selector, and d_w accumulates over c.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (out_dim, LANE), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (out_dim, LANE), 1)
+        d_w = jnp.zeros((T, numel_pad), jnp.float32)
         for c in range(d3):
-            d_cp_parts.append(d_cp[c * T : (c + 1) * T, :])
+            sel = jnp.logical_and(rows == lanes + (col + c * mul),
+                                  lanes < mul).astype(jnp.float32)
+            gg_c = jnp.dot(g_ref[:], sel, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # [T, LANE]
+            d_z_c = dot(gg_c, r_ref[e_ofs : e_ofs + numel_pad, :].T)  # [T, n]
+            cp_c = cfull[:, (stripe0 + c) * LANE : (stripe0 + c + 1) * LANE]
+            cexp_c = dot(cp_c, e_ref[:, e_ofs : e_ofs + numel_pad])
+            d_w = d_w + d_z_c * cexp_c
+            d_cp_parts.append(dot(d_z_c * w_g, e_ref[:, e_ofs : e_ofs + numel_pad].T))
         dh = dh + dot(d_w, w2_ref[:, w_ofs : w_ofs + numel_pad].T)
 
         dw2_part = dot(h.T, d_w)  # [H, n]
@@ -114,9 +120,16 @@ def _kernel_bwd(attr_ref, x_ref, sh_ref, g_ref, dm_ref,
         e_ofs += numel_pad
 
     d_cfull = jnp.concatenate(d_cp_parts, axis=1)  # [T, S*128]
-    d_xa = dot(d_cfull, gmat_ref[:].T).reshape(T, Dsh, Din)
-    dx_ref[:] = jnp.sum(d_xa * sh.astype(jnp.float32)[:, :, None], axis=1)
-    dsh_ref[:] = jnp.sum(d_xa * x.astype(jnp.float32)[:, None, :], axis=2)
+    # Mosaic cannot shape-cast the lane dim ([T, Dsh*Din] -> [T, Dsh, Din]),
+    # so the per-b reductions are expressed as exact f32 matmuls against the
+    # static 0/1 selectors built in edge_bwd_pallas:
+    #   dx  = (d_xa * (sh @ Qrep)) @ Qsum       Qrep[b, b*Din+i] = 1
+    #   dsh = (d_xa * (x  @ Qsum^T)) @ Qrep^T   Qsum[b*Din+i, i] = 1
+    d_xa = dot(d_cfull, gmat_ref[:].T)  # [T, Dsh*Din]
+    dot32 = lambda a, b: jnp.dot(a.astype(jnp.float32), b, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+    dx_ref[:] = dot32(d_xa * dot32(sh, qrep_ref[:]), qsum_ref[:])
+    dsh_ref[:] = dot32(d_xa * dot32(x, qsum_ref[:].T), qrep_ref[:].T)
     if has_dm:
         dh = dh * dm
     dh = dh * relu
@@ -163,6 +176,12 @@ def edge_bwd_pallas(spec, a2, x2, s2, g2, dm2, w1, b1, w2p, b2p, Gj, Ej, Rj,
     if dm2 is None:
         dm2 = jnp.zeros((Tp, 1), cdtype)  # dummy ref (never read)
 
+    # static 0/1 selectors for the lane-blocked d_xa reductions (see kernel)
+    qrep = np.zeros((Dsh, Dsh * Din), np.float32)
+    for b in range(Dsh):
+        qrep[b, b * Din : (b + 1) * Din] = 1.0
+    qsum = np.tile(np.eye(Din, dtype=np.float32), (Dsh, 1))
+
     kernel = functools.partial(_kernel_bwd, spec=spec, cdtype=cdtype, has_dm=has_dm)
     tiled = lambda w: pl.BlockSpec((tile_t, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -172,6 +191,8 @@ def edge_bwd_pallas(spec, a2, x2, s2, g2, dm2, w1, b1, w2p, b2p, Gj, Ej, Rj,
         grid=(Tp // tile_t,),
         in_specs=[
             tiled(Fe), tiled(Din), tiled(Dsh), tiled(spec.out_dim), tiled(dm2.shape[1]),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -199,6 +220,7 @@ def edge_bwd_pallas(spec, a2, x2, s2, g2, dm2, w1, b1, w2p, b2p, Gj, Ej, Rj,
         g2.astype(jnp.float32), dm2.astype(cdtype),
         w1.astype(cdtype), b1, w2p.astype(cdtype), b2p,
         Gj.astype(cdtype), Ej.astype(cdtype), Rj.astype(cdtype),
+        jnp.asarray(qrep), jnp.asarray(qsum),
     )
     d_a2, d_x2, d_s2, dw1, db1, dw2p, db2p = outs
     return d_a2[:T], d_x2[:T], d_s2[:T], dw1, db1[0], dw2p, db2p[0]
