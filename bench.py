@@ -108,11 +108,12 @@ def _measure():
     n_poses = int(os.environ.get("BENCH_POSES", 32 if backend != "cpu" else 8))
     steps = int(os.environ.get("BENCH_STEPS", 20))
 
-    # BENCH_LM_DIM=1280: the ESM-sized architecture (both pretrained
-    # manifests require 1280-d receptor embeddings, reference
-    # models/score_model.py:98-99) with random embeddings — validates that
-    # poses/s and the N=512 bucket memory hold with [B, N, 1280] rec_lm
-    lm_dim = int(os.environ.get("BENCH_LM_DIM", 0))
+    # The ESM-sized architecture is the DEFAULT headline on TPU (both
+    # pretrained manifests require 1280-d receptor embeddings, reference
+    # models/score_model.py:98-99): random embeddings stand in for real ESM
+    # features (identical compute/memory shape). BENCH_LM_DIM=0 measures the
+    # no-ESM variant (the r1-r4 headline); the parent reports both.
+    lm_dim = int(os.environ.get("BENCH_LM_DIM", 1280 if backend != "cpu" else 0))
     ref = "/root/reference/data/1a0q"
     if os.path.isdir(ref):
         import numpy as np
@@ -199,12 +200,13 @@ def _measure():
         mfu = round(run_tflop / dt / peak, 4)
 
     out = {
-        "metric": f"poses/sec/chip at {steps} denoising steps (1a0q, batch {n_poses})",
+        "metric": f"poses/sec/chip at {steps} denoising steps (1a0q, batch {n_poses}, lm_dim {lm_dim})",
         "value": round(poses_per_sec, 3),
         "unit": "poses/s",
         "vs_baseline": round(poses_per_sec / A100_REFERENCE_POSES_PER_SEC, 3),
         "baseline_estimated": True,
         "backend": backend,
+        "lm_dim": lm_dim,
         "mfu": mfu,
         "mfu_note": "lower bound: trunk conv_rec MXU FLOPs only (docs/PERF_NOTES.md)",
     }
@@ -236,7 +238,23 @@ def main():
             continue
         line = next((ln for ln in reversed(r.stdout.splitlines()) if ln.startswith("{")), None)
         if r.returncode == 0 and line:
-            print(line)
+            result = json.loads(line)
+            if name == "tpu" and "BENCH_LM_DIM" not in os.environ:
+                # secondary no-ESM measurement (the r1-r4 headline variant)
+                try:
+                    r2 = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__)],
+                        env=dict(child_env, BENCH_LM_DIM="0"),
+                        capture_output=True, timeout=tmo, text=True)
+                    l2 = next((ln for ln in reversed(r2.stdout.splitlines())
+                               if ln.startswith("{")), None)
+                    if r2.returncode == 0 and l2:
+                        d2 = json.loads(l2)
+                        result["value_no_esm"] = d2["value"]
+                        result["mfu_no_esm"] = d2["mfu"]
+                except subprocess.TimeoutExpired:
+                    print("bench: no-ESM secondary measurement timed out", file=sys.stderr)
+            print(json.dumps(result))
             return
         print(f"bench: {name} measurement failed rc={r.returncode}\n{r.stderr[-2000:]}",
               file=sys.stderr)

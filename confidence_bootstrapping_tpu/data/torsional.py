@@ -28,8 +28,11 @@ from .featurize import featurize_ligand, get_transformation_mask
 from .mol_io import parse_sdf
 
 
-def torsional_apply_noise(batch, key, sigma: SigmaParams, cfg: TrainConfig):
-    """Perturb only torsion angles; targets from the torus score tables."""
+def torsional_apply_noise(batch, key, sigma: SigmaParams, cfg: TrainConfig, tables=None):
+    """Perturb only torsion angles; targets from the torus score tables.
+
+    ``tables``: optional train.diffusion.DiffusionTables threaded through the
+    enclosing jit (keeps the 100 MB torus score grid out of the HLO)."""
     B = batch.batch_size
     R = batch.tor_src.shape[1]
     k_t, k_tor = jax.random.split(key)
@@ -41,7 +44,8 @@ def torsional_apply_noise(batch, key, sigma: SigmaParams, cfg: TrainConfig):
     new_pos = apply_torsion_updates(
         batch.lig_pos, batch.tor_src, batch.tor_dst, batch.mask_rotate, updates, batch.tor_mask
     )
-    tor_score = jnp.where(batch.tor_mask, torus.score(updates, tor_sigma[:, None]), 0.0)
+    tor_table = tables.torus_score if tables is not None else None
+    tor_score = jnp.where(batch.tor_mask, torus.score(updates, tor_sigma[:, None], table=tor_table), 0.0)
     zeros = jnp.zeros((B, 3))
     return batch.replace(lig_pos=new_pos), ScoreTargets(zeros, zeros, tor_score, tor_sigma)
 

@@ -19,6 +19,13 @@ this module implements and documents the mapping for when they are:
   * torch ``nn.Linear`` stores [out, in] — transpose to flax [in, out];
   * torch Embedding tables map directly (vocabulary order matches
     data/vocab.py = reference allowable_features).
+
+VERSION PIN: every e3nn layout assumption here encodes **e3nn==0.5.0** —
+the exact version the reference installs (reference environment.yml:117).
+e3nn cannot be installed in this build environment (zero egress), so the
+assumptions are pinned by hand-written executors in tests/test_convert.py;
+``scripts/e3nn_parity_check.py`` is the runnable cross-check protocol that
+replaces the pin with measured parity in any env with torch + e3nn==0.5.0.
 """
 
 from __future__ import annotations

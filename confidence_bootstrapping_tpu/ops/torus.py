@@ -104,22 +104,31 @@ def _sigma_index(sigma):
     return jnp.clip(jnp.round(idx), 0, SIGMA_N).astype(jnp.int32)
 
 
-def score(x, sigma):
-    """d/dx log p_wrapped(x | sigma); x, sigma broadcastable arrays."""
+def score(x, sigma, table=None):
+    """d/dx log p_wrapped(x | sigma); x, sigma broadcastable arrays.
+
+    ``table``: optional explicit SCORE_TABLE. Thread it as a jit ARGUMENT
+    from compiled callers (train_loop does): the 5001x5001 table closed over
+    inside a jitted function lowers as a ~100 MB HLO constant, bloating
+    every train-step executable and the persistent compile cache."""
     x = jnp.asarray(x)
+    if table is None:
+        table = SCORE_TABLE
     sigma = jnp.broadcast_to(jnp.asarray(sigma), x.shape)
     sign, xi = _x_index(x)
     si = _sigma_index(sigma)
-    return -sign * SCORE_TABLE[si, xi]
+    return -sign * table[si, xi]
 
 
-def p(x, sigma):
+def p(x, sigma, table=None):
     """Unnormalized wrapped-normal density p(x | sigma)."""
     x = jnp.asarray(x)
+    if table is None:
+        table = P_TABLE
     sigma = jnp.broadcast_to(jnp.asarray(sigma), x.shape)
     _, xi = _x_index(x)
     si = _sigma_index(sigma)
-    return P_TABLE[si, xi]
+    return table[si, xi]
 
 
 def sample(key, sigma):

@@ -20,7 +20,7 @@ import optax
 
 from ..config import ScoreModelConfig, TrainConfig
 from ..data.complex_graph import ComplexBatch
-from .diffusion import apply_noise
+from .diffusion import apply_noise, get_tables
 from .losses import score_matching_loss
 
 
@@ -101,13 +101,19 @@ def layer_freeze_mask(params, step: int):
 
 
 def make_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
-    """Returns jitted (state, batch, key[, grad_mask]) -> (state, metrics)."""
+    """Returns jitted (state, batch, key[, grad_mask]) -> (state, metrics).
+
+    The big diffusion lookup tables enter the jit as ARGUMENTS (closed over
+    only in the thin Python wrapper), so they lower as parameters instead of
+    ~260 MB of HLO constants — see diffusion.DiffusionTables."""
     tx = make_optimizer(cfg)
+    tables = get_tables()
 
     @jax.jit
-    def train_step(state: TrainState, batch: ComplexBatch, key, grad_mask=None):
+    def _train_step(tables, state: TrainState, batch: ComplexBatch, key, grad_mask=None):
         k_noise, k_drop = jax.random.split(key)
-        noised, targets = apply_noise(batch, k_noise, model_cfg.sigma, cfg, model_cfg.no_torsion)
+        noised, targets = apply_noise(batch, k_noise, model_cfg.sigma, cfg, model_cfg.no_torsion,
+                                      tables=tables)
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -153,6 +159,9 @@ def make_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
         )
         return new_state, metrics
 
+    def train_step(state: TrainState, batch: ComplexBatch, key, grad_mask=None):
+        return _train_step(tables, state, batch, key, grad_mask)
+
     return train_step
 
 
@@ -161,13 +170,14 @@ def make_torsional_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConf
     TorsionalNoiseTransform + torsional_loss_function + model.torsional_forward,
     train.py:25-27)."""
     tx = make_optimizer(cfg)
+    tables = get_tables()
 
     @jax.jit
-    def train_step(state: TrainState, batch: ComplexBatch, key):
+    def _train_step(tables, state: TrainState, batch: ComplexBatch, key):
         from ..data.torsional import torsional_apply_noise, torsional_loss
 
         k_noise, k_drop = jax.random.split(key)
-        noised, targets = torsional_apply_noise(batch, k_noise, model_cfg.sigma, cfg)
+        noised, targets = torsional_apply_noise(batch, k_noise, model_cfg.sigma, cfg, tables=tables)
 
         def loss_fn(params):
             tor_pred, mut = model.apply(
@@ -194,15 +204,20 @@ def make_torsional_train_step(model, model_cfg: ScoreModelConfig, cfg: TrainConf
         )
         return new_state, {"loss": loss, "tor_base_loss": base, "skipped": 1.0 - ok.astype(jnp.float32)}
 
+    def train_step(state: TrainState, batch: ComplexBatch, key):
+        return _train_step(tables, state, batch, key)
+
     return train_step
 
 
 def make_torsional_eval_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
+    tables = get_tables()
+
     @jax.jit
-    def eval_step(state: TrainState, batch: ComplexBatch, key):
+    def _eval_step(tables, state: TrainState, batch: ComplexBatch, key):
         from ..data.torsional import torsional_apply_noise, torsional_loss
 
-        noised, targets = torsional_apply_noise(batch, key, model_cfg.sigma, cfg)
+        noised, targets = torsional_apply_noise(batch, key, model_cfg.sigma, cfg, tables=tables)
         tor_pred = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             noised,
@@ -211,13 +226,19 @@ def make_torsional_eval_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfi
         loss, base = torsional_loss(tor_pred, targets, noised)
         return {"loss": loss, "tor_base_loss": base}
 
+    def eval_step(state: TrainState, batch: ComplexBatch, key):
+        return _eval_step(tables, state, batch, key)
+
     return eval_step
 
 
 def make_eval_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
+    tables = get_tables()
+
     @jax.jit
-    def eval_step(state: TrainState, batch: ComplexBatch, key):
-        noised, targets = apply_noise(batch, key, model_cfg.sigma, cfg, model_cfg.no_torsion)
+    def _eval_step(tables, state: TrainState, batch: ComplexBatch, key):
+        noised, targets = apply_noise(batch, key, model_cfg.sigma, cfg, model_cfg.no_torsion,
+                                      tables=tables)
         out = model.apply({"params": state.params, "batch_stats": state.batch_stats}, noised)
         lb = score_matching_loss(
             out.tr_pred, out.rot_pred, out.tor_pred, targets, noised, model_cfg.sigma,
@@ -227,6 +248,9 @@ def make_eval_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
             loss=lb.loss, tr_loss=lb.tr_loss, rot_loss=lb.rot_loss, tor_loss=lb.tor_loss,
             t=jnp.mean(noised.t_tr),
         )
+
+    def eval_step(state: TrainState, batch: ComplexBatch, key):
+        return _eval_step(tables, state, batch, key)
 
     return eval_step
 

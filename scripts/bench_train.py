@@ -182,16 +182,32 @@ def main():
         results[f"fused_{fused}"] = json.loads(line)
         print(line, flush=True)
     x, f = results["fused_0"], results["fused_auto"]
-    # per-pose normalization: the two settings may run different B after
-    # OOM-halving (the XLA path's footprint is the reason — record it)
-    results["speedup_score_per_pose"] = round(
-        (x["score_train_step_ms"] / x["b_score"]) / (f["score_train_step_ms"] / f["b_score"]), 2)
-    results["speedup_conf_per_pose"] = round(
-        (x["conf_train_step_ms"] / x["b_conf"]) / (f["conf_train_step_ms"] / f["b_conf"]), 2)
+    # MATCHED-B comparison (VERDICT r4 weak 4: r4 divided per-pose times
+    # across B=16 vs B=32, conflating kernel speedup with batch scaling).
+    # If OOM-halving left the two arms at different batch sizes, re-run the
+    # fused arm at the XLA arm's (smaller) batch and compare at that B; the
+    # larger-B fused row stays in the artifact as the capacity statement.
+    f_cmp = f
+    if (x["b_score"], x["b_conf"]) != (f["b_score"], f["b_conf"]):
+        env = dict(os.environ, CBT_TRBENCH_CHILD="1", CBT_FUSED_TRAIN="auto",
+                   TRBENCH_B=str(x["b_score"]), TRBENCH_BC=str(x["b_conf"]))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True, timeout=3600)
+        line = next((ln for ln in reversed(r.stdout.splitlines()) if ln.startswith("{")), None)
+        if r.returncode != 0 or line is None:
+            print(f"bench_train: matched-B rerun failed\n{r.stderr[-1500:]}", file=sys.stderr)
+            sys.exit(1)
+        f_cmp = results["fused_auto_matched_b"] = json.loads(line)
+        print(line, flush=True)
+    results["speedup_score_matched_b"] = round(
+        x["score_train_step_ms"] / f_cmp["score_train_step_ms"], 2)
+    results["speedup_conf_matched_b"] = round(
+        x["conf_train_step_ms"] / f_cmp["conf_train_step_ms"], 2)
+    results["matched_b"] = {"b_score": x["b_score"], "b_conf": x["b_conf"]}
     os.makedirs(os.path.dirname(ART), exist_ok=True)
     with open(ART, "w") as fh:
         json.dump(results, fh, indent=2)
-    print(json.dumps({k: results[k] for k in ("speedup_score_per_pose", "speedup_conf_per_pose")}))
+    print(json.dumps({k: results[k] for k in ("speedup_score_matched_b", "speedup_conf_matched_b")}))
 
 
 if __name__ == "__main__":

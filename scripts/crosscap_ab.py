@@ -1,0 +1,228 @@
+"""Cross-edge cap quality A/B at DockGen receptor scale (VERDICT r4 item 3).
+
+The reference mean-aggregates EVERY in-radius ligand<-receptor cross edge
+(models/score_model.py:568-573, max_num_neighbors=10000); this rebuild keeps
+the nearest ``cross_cap`` (config.py, default 48) so cross tensors stay
+fixed-shape. docs/artifacts/stress_dockgen_scale.json measured that at
+N>=1024 the fixed cap drops 71% of true in-radius edges at the FINAL
+denoising step — with no accuracy evidence either way. This script produces
+that evidence:
+
+  A. **Forward score-field deviation**: for synthetic protein-like receptors
+     in the N=1024/2048/3072 buckets, compare tr/rot/tor score predictions
+     at cross_cap in {48, 96, 192} against the uncapped-in-bucket forward
+     (cross_cap=N, exact radius semantics per ops/graph_builders.py:41) at
+     sigma grid t in {1.0, 0.5, 0.25, 0.0}, for (a) random-init and (b)
+     full-sigma-overfit-trained weights. Metric: relative L2 and cosine per
+     output head over B poses.
+
+  B. **Rollout divergence**: full 20-step production sampling with identical
+     PRNG keys at cap 48/96 vs uncapped; per-pose RMSD between the capped
+     and uncapped final poses. This is the end-to-end quantity a user cares
+     about (does the cap move the docked pose?).
+
+Both run with CBT_DISABLE_FUSED=1 (pure XLA path) and without phased
+compaction, so the ONLY difference between arms is the cap. Writes
+docs/artifacts/crosscap_ab_tpu.json with a machine-checked conclusion.
+
+Usage: python scripts/crosscap_ab.py [--train_steps 600] [--poses 8]
+       [--smoke]  (tiny sizes, CPU plumbing check)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["CBT_DISABLE_FUSED"] = "1"  # isolate the cap: one code path for all arms
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "artifacts", "crosscap_ab_tpu.json")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_steps", type=int, default=600)
+    ap.add_argument("--train_batch", type=int, default=16)
+    ap.add_argument("--poses", type=int, default=8)
+    ap.add_argument("--inference_steps", type=int, default=20)
+    ap.add_argument("--caps", default="48,96,192")
+    ap.add_argument("--sizes", default="900,1800,2800")
+    ap.add_argument("--out", default=ART)
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args(argv)
+
+    from confidence_bootstrapping_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax_compilation"))
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from confidence_bootstrapping_tpu.config import SamplerConfig, ScoreModelConfig, TrainConfig
+    from confidence_bootstrapping_tpu.data import featurize, mol_io
+    from confidence_bootstrapping_tpu.data.complex_graph import (
+        pad_complex, pick_bucket, replicate_complex)
+    from confidence_bootstrapping_tpu.models.score_model import TensorProductScoreModel
+    from confidence_bootstrapping_tpu.sampler import sampling
+    from confidence_bootstrapping_tpu.train import train_loop
+    from stress_eval import write_complex
+
+    caps = [int(c) for c in args.caps.split(",")]
+    sizes = [int(s) for s in args.sizes.split(",")]
+    if args.smoke:
+        args.train_steps, args.poses, args.inference_steps = 2, 2, 4
+        caps, sizes = [8, 16], [60]
+
+    # ---- semi-trained weights: quick full-sigma overfit on the real 1a0q
+    cfg = ScoreModelConfig(lm_embedding_dim=0, dropout=0.0)
+    if args.smoke:
+        cfg = dataclasses.replace(cfg, ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=1)
+    ref = "/root/reference/data/1a0q"
+    mol = mol_io.read_molecule(f"{ref}/1a0q_ligand.sdf")
+    st = mol_io.parse_pdb(f"{ref}/1a0q_protein_processed.pdb")
+    hc = featurize.build_host_complex("1a0q", mol, st)
+    padded = pad_complex(hc, pick_bucket(len(hc.lig_f), len(hc.lig_edge_src),
+                                         len(hc.tor_src), len(hc.rec_f)))
+    model = TensorProductScoreModel(cfg)
+    tb = replicate_complex(padded, args.train_batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), tb)
+    state = train_loop.init_train_state(variables, TrainConfig(lr=1e-3))
+    step_fn = train_loop.make_train_step(model, cfg, TrainConfig(lr=1e-3))
+    key = jax.random.PRNGKey(7)
+    t0 = time.time()
+    for i in range(args.train_steps):
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, tb, k)
+    print(f"overfit train {args.train_steps} steps: {time.time()-t0:.1f}s "
+          f"final loss {float(metrics['loss']):.3f}", flush=True)
+    weight_sets = {"random_init": variables["params"], "trained": state.ema_params}
+    bs = state.batch_stats
+
+    # ---- synthetic DockGen-scale complexes (stress_eval geometry)
+    data_dir = "/tmp/crosscap_data"
+    complexes = {}
+    for i, n_res in enumerate(sizes):
+        name = f"ab{i}"
+        write_complex(data_dir, name, n_res, n_lig=22, seed=100 + i)
+        m2 = mol_io.read_molecule(os.path.join(data_dir, name, f"{name}_ligand.sdf"))
+        st2 = mol_io.parse_pdb(os.path.join(data_dir, name, f"{name}_protein_processed.pdb"))
+        hc2 = featurize.build_host_complex(name, m2, st2)
+        b2 = pick_bucket(len(hc2.lig_f), len(hc2.lig_edge_src), len(hc2.tor_src), len(hc2.rec_f))
+        complexes[n_res] = pad_complex(hc2, b2)
+
+    def fwd_outputs(params, batch, cap, t):
+        c2 = dataclasses.replace(cfg, cross_cap=cap)
+        m2 = TensorProductScoreModel(c2)
+        b = batch._replace(t_tr=jnp.full_like(batch.t_tr, t),
+                           t_rot=jnp.full_like(batch.t_rot, t),
+                           t_tor=jnp.full_like(batch.t_tor, t))
+        out = jax.jit(lambda v, bb: m2.apply(v, bb))({"params": params, "batch_stats": bs}, b)
+        return (np.asarray(out.tr_pred), np.asarray(out.rot_pred), np.asarray(out.tor_pred))
+
+    def rel_stats(a, b):
+        """a vs baseline b: relative L2 and cosine over the flattened batch."""
+        a, b = a.ravel().astype(np.float64), b.ravel().astype(np.float64)
+        nb = np.linalg.norm(b)
+        rel = float(np.linalg.norm(a - b) / max(nb, 1e-12))
+        cos = float(a @ b / max(np.linalg.norm(a) * nb, 1e-30))
+        return round(rel, 4), round(cos, 4)
+
+    t_grid = [1.0, 0.5, 0.25, 0.0]
+    forward = {}
+    for n_res, padc in complexes.items():
+        N = padc.rec_pos.shape[-2] if padc.rec_pos.ndim == 3 else padc.rec_pos.shape[0]
+        batch = replicate_complex(padc, args.poses)
+        N = batch.rec_pos.shape[1]
+        b0 = sampling.randomize_position(batch, jax.random.PRNGKey(5), cfg.sigma.tr_sigma_max)
+        for wname, params in weight_sets.items():
+            base = {t: fwd_outputs(params, b0, N, t) for t in t_grid}
+            for cap in caps:
+                if cap >= N:
+                    continue
+                for t in t_grid:
+                    got = fwd_outputs(params, b0, cap, t)
+                    row = {}
+                    for head, (a, b) in zip(("tr", "rot", "tor"), zip(got, base[t])):
+                        rel, cos = rel_stats(a, b)
+                        row[head] = {"rel_l2": rel, "cos": cos}
+                    forward[f"N{N}/{wname}/cap{cap}/t{t}"] = row
+        print(f"forward deviations done for N={N}", flush=True)
+
+    # ---- B: rollout divergence (trained weights, identical keys)
+    rollout = {}
+    scfg = SamplerConfig(inference_steps=args.inference_steps)
+    for n_res, padc in complexes.items():
+        batch = replicate_complex(padc, args.poses)
+        N = batch.rec_pos.shape[1]
+        b0 = sampling.randomize_position(batch, jax.random.PRNGKey(11), cfg.sigma.tr_sigma_max)
+        finals = {}
+        for cap in [c for c in caps if c < N] + [N]:
+            c2 = dataclasses.replace(cfg, cross_cap=cap)
+            m2 = TensorProductScoreModel(c2)
+            t0 = time.time()
+            fin, _ = sampling.sample_jit(
+                m2, {"params": weight_sets["trained"], "batch_stats": bs},
+                b0, jax.random.PRNGKey(12), c2, scfg)
+            lm = np.asarray(fin.lig_mask[0]).astype(bool)
+            finals[cap] = np.asarray(fin.lig_pos)[:, lm]
+            print(f"rollout N={N} cap={cap}: {time.time()-t0:.1f}s", flush=True)
+        base = finals[N]
+        for cap, poses in finals.items():
+            if cap == N:
+                continue
+            rms = np.sqrt(((poses - base) ** 2).sum(-1).mean(-1))  # per-pose
+            rollout[f"N{N}/cap{cap}"] = {
+                "pose_rmsd_vs_uncapped_mean": round(float(rms.mean()), 3),
+                "pose_rmsd_vs_uncapped_max": round(float(rms.max()), 3),
+                "pose_rmsd_vs_uncapped_median": round(float(np.median(rms)), 3),
+            }
+
+    # ---- conclusion
+    worst_final_rel = max(
+        (v["tr"]["rel_l2"] for k, v in forward.items()
+         if "/trained/" in k and k.endswith("/t0.0")), default=0.0)
+    worst_roll = max((v["pose_rmsd_vs_uncapped_median"] for v in rollout.values()),
+                     default=0.0)
+    cap48_roll = {k: v for k, v in rollout.items() if k.endswith("/cap48")}
+    conclusion = {
+        "worst_trained_tr_rel_l2_at_final_step": worst_final_rel,
+        "worst_rollout_median_pose_divergence_A": worst_roll,
+        "cap48_rollout_divergence": cap48_roll,
+    }
+
+    import jax
+
+    artifact = {
+        "what": "cross_cap quality A/B at DockGen receptor scale: forward "
+                "score deviation + full-rollout pose divergence vs the "
+                "uncapped-in-bucket forward (reference semantics, "
+                "models/score_model.py:568-573). CBT_DISABLE_FUSED=1, no "
+                "phased compaction: the cap is the only difference.",
+        "backend": jax.devices()[0].platform,
+        "poses": args.poses,
+        "inference_steps": args.inference_steps,
+        "caps": caps,
+        "receptor_sizes": sizes,
+        "train_steps_for_trained_weights": args.train_steps,
+        "forward_deviation": forward,
+        "rollout_divergence": rollout,
+        "conclusion": conclusion,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(conclusion, indent=2))
+
+
+if __name__ == "__main__":
+    main()

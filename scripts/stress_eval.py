@@ -133,14 +133,18 @@ def main(argv=None):
         m = json.load(f)
     run_times = np.load(os.path.join(out_dir, "run_times.npy"))
     loaded_names = [str(x) for x in np.load(os.path.join(out_dir, "complex_names.npy"))]
+    cold_path = os.path.join(out_dir, "cold_variant.npy")
+    cold = np.load(cold_path) if os.path.exists(cold_path) else np.zeros(len(run_times), bool)
 
-    # per-bucket wall stats
+    # per-bucket wall stats, compile-excluded (warm) and raw
     size_of = {f"stress{i:03d}": s for i, s in enumerate(sizes)}
     bucket_of = lambda s: 1024 if s <= 1024 else (2048 if s <= 2048 else 3072)
-    per_bucket = {}
-    for nm, rt in zip(loaded_names, run_times):
+    per_bucket, per_bucket_warm = {}, {}
+    for nm, rt, cd in zip(loaded_names, run_times, cold):
         b = bucket_of(size_of[nm])
         per_bucket.setdefault(b, []).append(float(rt))
+        if not cd and rt > 0:
+            per_bucket_warm.setdefault(b, []).append(float(rt))
 
     import jax
 
@@ -161,8 +165,14 @@ def main(argv=None):
         "cross_cap": m.get("cross_cap"),
         "run_times_mean": m.get("run_times_mean"),
         "run_times_std": m.get("run_times_std"),
+        "run_times_warm_mean": m.get("run_times_warm_mean"),
+        "run_times_warm_std": m.get("run_times_warm_std"),
+        "n_variant_compiles": m.get("n_variant_compiles"),
+        "wall_breakdown_s": m.get("wall_breakdown_s"),
         "per_bucket_run_time_mean_s": {
             str(b): round(float(np.mean(v)), 3) for b, v in sorted(per_bucket.items())},
+        "per_bucket_warm_run_time_mean_s": {
+            str(b): round(float(np.mean(v)), 3) for b, v in sorted(per_bucket_warm.items())},
         "per_bucket_n": {str(b): len(v) for b, v in sorted(per_bucket.items())},
         "eval_wall_s": round(eval_wall, 1),
         "generation_wall_s": round(gen_wall, 1),
