@@ -283,14 +283,30 @@ def make_torsional_eval_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfi
     return _TableBoundStep(_eval_step, tables)
 
 
-def make_eval_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig):
+def make_eval_step(model, model_cfg: ScoreModelConfig, cfg: TrainConfig,
+                   use_running_average: bool = True):
+    """Deterministic (no-dropout) eval step. ``use_running_average=False``
+    normalizes with the eval batch's own statistics instead of the BN
+    running stats — required when evaluating models trained on a SINGLE
+    replicated complex (overfit harnesses, the numerics gate): B identical
+    poses give some BN channels near-zero batch variance, the running-var
+    EMA absorbs it, and running-stats eval then amplifies activations by
+    orders of magnitude (measured 1e16 loss spikes on a healthy model).
+    Multi-complex validation (cli/train) keeps the reference semantics of
+    model.eval() (utils/training.py test_epoch): running stats."""
     tables = get_tables()
 
     @jax.jit
     def _eval_step(tables, state: TrainState, batch: ComplexBatch, key):
         noised, targets = apply_noise(batch, key, model_cfg.sigma, cfg, model_cfg.no_torsion,
                                       tables=tables)
-        out = model.apply({"params": state.params, "batch_stats": state.batch_stats}, noised)
+        if use_running_average:
+            out = model.apply({"params": state.params, "batch_stats": state.batch_stats}, noised)
+        else:
+            out, _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats}, noised,
+                deterministic=True, use_running_average=False, mutable=["batch_stats"],
+            )
         lb = score_matching_loss(
             out.tr_pred, out.rot_pred, out.tor_pred, targets, noised, model_cfg.sigma,
             cfg.tr_weight, cfg.rot_weight, cfg.tor_weight, model_cfg.no_torsion,

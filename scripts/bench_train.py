@@ -16,7 +16,8 @@ subprocesses and writes docs/artifacts/train_step_tpu.json. Child mode
 line.
 
 Env knobs: TRBENCH_B (default 32), TRBENCH_BC (default 8), TRBENCH_LM_DIM
-(default 0; set 1280 for the ESM-sized variant), TRBENCH_RUNS (default 3).
+(default 1280 on TPU — the ESM-sized architecture both pretrained manifests
+require; 0 on CPU), TRBENCH_RUNS (default 3).
 """
 
 from __future__ import annotations
@@ -85,9 +86,11 @@ def _measure():
 
     B = int(os.environ.get("TRBENCH_B", 32))
     Bc = int(os.environ.get("TRBENCH_BC", 8))
-    lm_dim = int(os.environ.get("TRBENCH_LM_DIM", 0))
-    n_runs = int(os.environ.get("TRBENCH_RUNS", 3))
     backend = jax.devices()[0].platform
+    # ESM-sized (1280-d receptor embeddings) is the DEFAULT on TPU: both
+    # pretrained manifests require it (reference models/score_model.py:98-99)
+    lm_dim = int(os.environ.get("TRBENCH_LM_DIM", 1280 if backend != "cpu" else 0))
+    n_runs = int(os.environ.get("TRBENCH_RUNS", 3))
     fused = os.environ.get("CBT_FUSED_TRAIN", "auto")
     out = {"backend": backend, "fused_train": fused, "b_score": B, "b_conf": Bc, "lm_dim": lm_dim}
 

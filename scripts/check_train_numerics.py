@@ -29,13 +29,17 @@ the real TPU:
      each step draws fresh diffusion times/noise so single-step losses have
      ~15% spread (the committed r4 artifact failed that gate on the fused
      path by exactly such a draw while the trajectories visibly agreed).
-     Now descent is measured noise-free: a FIXED noised eval batch (one
-     key, deterministic eval_step) scored before training and after every
-     step. Gate: the fixed-batch eval loss descends for BOTH paths
-     (mean of last 5 evals < 0.85x the step-0 eval) and the final eval
-     losses agree within 15%. This is the product claim — training through
-     the fused kernels converges like the XLA path (reference
-     models/tensor_layers.py:120-217 uses one code path for train and eval).
+     A single FIXED noised eval batch is ill-conditioned too: as the model
+     converges toward the EXPECTED score field, the loss on one specific
+     draw is non-monotonic (measured: both paths' single-draw eval rose
+     over the last ~15 of 30 steps while training losses descended).
+     Descent is therefore measured on the eval loss AVERAGED over 8 fixed
+     noise draws (a low-variance estimate of E[loss]) over a 150-step
+     horizon. Gate: the mean-draw eval loss drops >=10% for BOTH paths,
+     and the two paths' converged eval losses agree within 10%. This is
+     the product claim — training through the fused kernels converges like
+     the XLA path (reference models/tensor_layers.py:120-217 uses one code
+     path for train and eval).
 
 Writes docs/artifacts/train_numerics_tpu.json; exit 1 on any gate failure.
 """
@@ -54,8 +58,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "docs", "artifacts", "train_numerics_tpu.json")
 
-TRAJ_STEPS = int(os.environ.get("CBT_NUM_TRAJ_STEPS", 30))
+TRAJ_STEPS = int(os.environ.get("CBT_NUM_TRAJ_STEPS", 150))
 TRAJ_B = int(os.environ.get("CBT_NUM_TRAJ_B", 16))
+TRAJ_EVAL_DRAWS = int(os.environ.get("CBT_NUM_EVAL_DRAWS", 8))
+TRAJ_EVAL_EVERY = int(os.environ.get("CBT_NUM_EVAL_EVERY", 5))
 
 
 def _specs():
@@ -144,13 +150,30 @@ def _child_traj():
     # scored with the deterministic eval path after every step. This is the
     # descent signal; per-step TRAINING losses (fresh noise each step) are
     # recorded for the agreement diagnostics only.
-    eval_step = train_loop.make_eval_step(model, cfg, tcfg)
-    ek = jax.random.PRNGKey(42)
-    losses, evals = [], [float(eval_step(state, batch, ek)["loss"])]
+    # batch-stats eval: B identical poses of one complex degenerate the BN
+    # running-variance EMA (near-zero batch variance in some channels), and
+    # running-stats eval then spikes to ~1e16 loss on a HEALTHY model — see
+    # make_eval_step's docstring. Batch-stats mode matches what the training
+    # loss itself sees and is well-conditioned here.
+    eval_step = train_loop.make_eval_step(model, cfg, tcfg, use_running_average=False)
+    # Round-5 correction: a SINGLE fixed noise draw is itself ill-conditioned
+    # — as the model converges toward the EXPECTED score field, the loss on
+    # one specific draw is non-monotonic (the r5 first run showed both paths'
+    # single-draw eval rising over the last ~15 steps while training losses
+    # kept descending). The descent signal is therefore the eval loss
+    # AVERAGED over TRAJ_EVAL_DRAWS fixed keys (a low-variance estimate of
+    # E[loss]), sampled every TRAJ_EVAL_EVERY steps.
+    eks = [jax.random.PRNGKey(42 + 7 * j) for j in range(TRAJ_EVAL_DRAWS)]
+
+    def mean_eval(st):
+        return float(np.mean([float(eval_step(st, batch, k)["loss"]) for k in eks]))
+
+    losses, evals = [], [mean_eval(state)]
     for i in range(TRAJ_STEPS):
         state, metrics = step(state, batch, jax.random.PRNGKey(1000 + i))
         losses.append(float(metrics["loss"]))
-        evals.append(float(eval_step(state, batch, ek)["loss"]))
+        if (i + 1) % TRAJ_EVAL_EVERY == 0 or i == TRAJ_STEPS - 1:
+            evals.append(mean_eval(state))
     print(json.dumps({"mode": "traj", "fused": os.environ.get("CBT_FUSED_TRAIN"),
                       "losses": losses, "evals": evals}))
 
@@ -216,20 +239,27 @@ def main():
     lx, lf = traj["0"]["losses"], traj["auto"]["losses"]
     ex, ef = traj["0"]["evals"], traj["auto"]["evals"]
     rel = [abs(x - f) / max(abs(x), 1e-9) for x, f in zip(lx, lf)]
-    ex_tail = float(np.mean(ex[-5:]))
-    ef_tail = float(np.mean(ef[-5:]))
+    ex_tail = float(np.mean(ex[-2:]))
+    ef_tail = float(np.mean(ef[-2:]))
     eval_rel_final = abs(ex_tail - ef_tail) / max(abs(ex_tail), 1e-9)
     tj = {
         "steps": TRAJ_STEPS, "b": TRAJ_B,
+        "eval_draws": TRAJ_EVAL_DRAWS, "eval_every": TRAJ_EVAL_EVERY,
         "eval_first_xla": round(ex[0], 4), "eval_first_fused": round(ef[0], 4),
-        "eval_tail5_xla": round(ex_tail, 4), "eval_tail5_fused": round(ef_tail, 4),
+        "eval_tail_xla": round(ex_tail, 4), "eval_tail_fused": round(ef_tail, 4),
         "eval_rel_diff_tail": round(eval_rel_final, 4),
         "mean_train_rel_diff": round(float(np.mean(rel)), 4),
         "evals_xla": [round(v, 4) for v in ex], "evals_fused": [round(v, 4) for v in ef],
         "losses_xla": [round(v, 4) for v in lx], "losses_fused": [round(v, 4) for v in lf],
     }
-    descends = ex_tail < 0.85 * ex[0] and ef_tail < 0.85 * ef[0]
-    agrees = eval_rel_final < 0.15
+    # Gates. (1) descent floor: the mean-over-draws eval loss must drop at
+    # least 10% over TRAJ_STEPS Adam steps for BOTH paths (a broken backward
+    # plateaus or climbs); (2) equivalence: the fused path's converged eval
+    # loss must be within 10% of the XLA path's — "training through the
+    # fused kernels converges like the XLA path" is the product claim
+    # (reference models/tensor_layers.py:120-217: one code path for both).
+    descends = ex_tail < 0.90 * ex[0] and ef_tail < 0.90 * ef[0]
+    agrees = eval_rel_final < 0.10
     if not (descends and agrees):
         ok = False
         tj["FAIL"] = {"descends": descends, "agrees": agrees}
