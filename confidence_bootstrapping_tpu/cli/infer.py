@@ -357,8 +357,11 @@ def main(argv=None):
 
                     from ..models.factory import get_model as _get_model
 
-                    # params are cap-independent; only the module config changes
-                    cfg = dataclasses.replace(cfg, cross_cap=args.cross_cap)
+                    # params are cap-independent; only the module config
+                    # changes. An explicit --cross_cap pins the EXACT cap
+                    # (disables the bucket-scaled cross_cap_frac policy).
+                    cfg = dataclasses.replace(cfg, cross_cap=args.cross_cap,
+                                              cross_cap_frac=0.0)
                     model = _get_model(cfg)
                 if args.confidence_model_dir:
                     cmodel, ccfg_, cvars = load_or_init_model(args.confidence_model_dir, args.confidence_ckpt, batch1)
@@ -605,6 +608,7 @@ def main(argv=None):
         drop = float(np.mean([s["dropped_edge_frac"] for s in overflow_stats]))
         drop_f = float(np.mean([s.get("dropped_edge_frac_final", 0.0) for s in overflow_stats]))
         m["cross_cap"] = int(getattr(cfg, "cross_cap", 48))
+        m["cross_cap_frac"] = float(getattr(cfg, "cross_cap_frac", 0.0))
         m["cross_cap_dropped_edge_frac"] = round(drop, 5)
         m["cross_cap_overflow_atom_frac"] = round(float(np.mean([s["overflow_atom_frac"] for s in overflow_stats])), 5)
         # final-step (sigma_min) cutoff: the quality-relevant truncation —

@@ -51,7 +51,21 @@ class ScoreModelConfig:
     # static shapes). Overflow telemetry: sampler.cross_overflow_stats /
     # the infer CLI's cross_cap_dropped_edge_frac metric.
     cross_cap: int = 48
+    # bucket-scaled capacity: the EFFECTIVE cap is
+    #   min(N, max(cross_cap, round(N * cross_cap_frac)))
+    # so cross_cap acts as a floor and big receptor buckets get
+    # proportionally more cross-edge slots. Measured motivation
+    # (docs/artifacts/crosscap_ab_tpu.json): at DockGen sizes a FIXED cap of
+    # 48 truncates most in-radius cross edges and moves trained-model
+    # translation scores at the final denoising step (rel L2 ~0.9-1.4, cos
+    # down to 0.28 vs the reference's uncapped aggregation), while cap
+    # ~N/5 tracks the uncapped forward closely. 0 disables scaling
+    # (fixed-cap behavior of rounds 1-4).
+    cross_cap_frac: float = 0.2
     # same cap for the ligand <- receptor-atom group of the all-atom model
+    # (atom buckets are 8x the residue bucket; the confidence model also
+    # crops to the pocket via crop_beyond, so its in-radius counts stay
+    # bounded — the frac policy applies to the residue-graph cross group)
     atom_cross_cap: int = 32
     lm_embedding_dim: int = 1280  # 0 disables ESM features
     embedding_type: str = "sinusoidal"
@@ -107,6 +121,14 @@ class ScoreModelConfig:
     crop_atom_cap: int = 2048
 
     sigma: SigmaParams = field(default_factory=SigmaParams)
+
+    def effective_cross_cap(self, n_rec: int) -> int:
+        """Bucket-scaled cross-edge capacity for an N-residue receptor view:
+        min(N, max(cross_cap, round(N * cross_cap_frac))). See cross_cap_frac
+        above; docs/artifacts/crosscap_ab_tpu.json is the measurement."""
+        if self.cross_cap_frac and self.cross_cap_frac > 0:
+            return min(n_rec, max(self.cross_cap, int(round(n_rec * self.cross_cap_frac))))
+        return min(n_rec, self.cross_cap)
 
 
 @dataclass(frozen=True)

@@ -403,7 +403,7 @@ class AllAtomScoreModel(nn.Module):
 
         # cross neighbor lists
         cutoff = (tr_sigma * 3 + 20)[:, None, None] if c.dynamic_max_cross else c.cross_max_distance
-        KC = min(N, c.cross_cap)
+        KC = c.effective_cross_cap(N)
         lr_idx, lr_mask, lr_d = topk_neighbors(batch.lig_pos, batch.rec_pos, cutoff, batch.lig_mask, rec_mask_eff, KC)
         lr_pos = gather_nodes(batch.rec_pos, lr_idx)
         lr_vec = lr_pos - batch.lig_pos[:, :, None, :]

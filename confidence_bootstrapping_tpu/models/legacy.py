@@ -364,7 +364,7 @@ class OldTensorProductScoreModel(nn.Module):
 
         # ---- cross edges (dynamic sigma cutoff, capped top-K)
         cutoff = (tr_sigma * 3 + 20)[:, None, None] if c.dynamic_max_cross else c.cross_max_distance
-        KC = min(N, c.cross_cap)
+        KC = c.effective_cross_cap(N)
         cr_idx, cr_mask, cr_d = topk_neighbors(batch.lig_pos, batch.rec_pos, cutoff, batch.lig_mask, batch.rec_mask, KC)
         cr_pos = gather_nodes(batch.rec_pos, cr_idx)
         cr_vec = cr_pos - batch.lig_pos[:, :, None, :]
@@ -655,7 +655,7 @@ class OldAllAtomScoreModel(nn.Module):
 
         # ---- lig <-> rec cross edges (dynamic sigma cutoff, capped top-K)
         cutoff = (tr_sigma * 3 + 20)[:, None, None] if c.dynamic_max_cross else c.cross_max_distance
-        KC = min(N, c.cross_cap)
+        KC = c.effective_cross_cap(N)
         lr_idx, lr_mask, lr_d = topk_neighbors(batch.lig_pos, batch.rec_pos, cutoff, batch.lig_mask, batch.rec_mask, KC)
         lr_pos = gather_nodes(batch.rec_pos, lr_idx)
         lr_vec = lr_pos - batch.lig_pos[:, :, None, :]

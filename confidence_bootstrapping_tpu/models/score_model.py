@@ -408,7 +408,7 @@ class TensorProductScoreModel(nn.Module):
             crop_cut = (tr_sigma * 3 + c.crop_beyond)[:, None] if not c.confidence_mode else c.crop_beyond
             rec_mask_eff = batch.rec_mask & (d_lr_min < crop_cut)
 
-        KC = min(N, c.cross_cap)
+        KC = c.effective_cross_cap(N)
         cr_idx, cr_mask, cr_d = topk_neighbors(batch.lig_pos, batch.rec_pos, cutoff, batch.lig_mask, rec_mask_eff, KC)
         cr_pos = gather_nodes(batch.rec_pos, cr_idx)
         cr_vec = cr_pos - batch.lig_pos[:, :, None, :]  # lig -> rec

@@ -316,7 +316,7 @@ def cross_overflow_stats(batch: ComplexBatch, model_cfg: ScoreModelConfig):
     from ..ops.graph_builders import radius_mask
 
     sp = model_cfg.sigma
-    cap = min(batch.rec_pos.shape[1], model_cfg.cross_cap)
+    cap = model_cfg.effective_cross_cap(batch.rec_pos.shape[1])
     real = batch.lig_mask
     n_atoms = jnp.maximum(jnp.sum(real), 1)
 

@@ -1,5 +1,6 @@
 """Confidence-Bootstrapping loop tests (tiny synthetic cluster)."""
 
+import pytest
 import numpy as np
 import jax
 
@@ -82,6 +83,7 @@ def test_buffer_semantics():
     assert len(buf2.complexes) == 1
 
 
+@pytest.mark.slow
 def test_cb_loop_oracle():
     """Two-epoch CB loop with oracle confidence on a tiny synthetic cluster."""
     targets = [_synthetic_target("AAAA_1", 0), _synthetic_target("BBBB_1", 1)]

@@ -3,6 +3,7 @@ gRPC coordinator run one data-parallel train step on the score model and
 agree on the loss (SURVEY §5.8 multi-host DCN; parallel/mesh.py
 maybe_init_distributed / shard_batch_multiprocess)."""
 
+import pytest
 import os
 import socket
 import subprocess
@@ -58,6 +59,7 @@ jax.distributed.shutdown()
 """
 
 
+@pytest.mark.slow
 def test_two_process_distributed_train_step(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

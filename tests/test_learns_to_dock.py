@@ -18,6 +18,7 @@ at a partial (200) and converged (500) step count. Everything is seeded and
 runs on the CPU backend, so the assertions are deterministic.
 """
 
+import pytest
 import jax
 import numpy as np
 
@@ -81,6 +82,7 @@ def _sample_rmsds(model, state, target, key, n=16, steps=10, ema=False):
     return np.sqrt(((poses - ref[None]) ** 2).sum(-1).mean(-1))
 
 
+@pytest.mark.slow
 def test_overfit_model_docks():
     """Score matching -> sampler -> RMSD: the converged model's sampled poses
     reach < 2 A of the crystal pose; the untrained model's do not."""
@@ -94,6 +96,7 @@ def test_overfit_model_docks():
     assert r_final.mean() < 0.5 * r_init.mean()  # training moved the needle
 
 
+@pytest.mark.slow
 def test_cb_loop_improves_poses():
     """The CB loop's oracle-filtered self-training improves sampled pose
     quality across epochs (reference finetune_train.py:252-349): starting
@@ -133,6 +136,7 @@ def test_cb_loop_improves_poses():
     assert inf[-1]["rmsds_lt5"] > inf[0]["rmsds_lt5"]
 
 
+@pytest.mark.slow
 def test_confidence_reranking_lifts_top1():
     """The paper's headline mechanism, one level above learns-to-dock: a
     confidence model TRAINED on generated poses must make filtered top-1

@@ -107,7 +107,9 @@ def test_cross_overflow_stats():
 
     batch = make_random_batch(B=1, N=24)
     n_real = int(np.asarray(batch.rec_mask).sum())
-    small = dataclasses.replace(SMALL_CFG, cross_cap=4)
+    # cross_cap_frac=0 pins the EXACT cap (the default bucket-scaled policy
+    # would lift cap 4 to round(24 * 0.2) = 5 on this toy receptor)
+    small = dataclasses.replace(SMALL_CFG, cross_cap=4, cross_cap_frac=0.0)
     s = jax.device_get(sampling.cross_overflow_stats(batch, small))
     # every rec residue is within 77 A of every lig atom in this toy batch
     assert float(s["overflow_atom_frac"]) == 1.0
@@ -135,6 +137,34 @@ def test_cross_cap_is_configurable_and_converges():
     o48 = m48.apply(v, batch)
     o96 = m96.apply(v, batch)  # params are cap-independent
     np.testing.assert_allclose(np.asarray(o48.tr_pred), np.asarray(o96.tr_pred), atol=1e-5)
+
+
+def test_cross_cap_frac_policy():
+    """Bucket-scaled cap (docs/artifacts/crosscap_ab_tpu.json): the
+    effective cap is min(N, max(cross_cap, round(N * cross_cap_frac))),
+    the default frac lifts big buckets toward the reference's uncapped
+    aggregation, and a model at the scaled cap equals one with the same
+    cap pinned explicitly."""
+    import dataclasses
+
+    from confidence_bootstrapping_tpu.config import ScoreModelConfig
+    from confidence_bootstrapping_tpu.models.score_model import TensorProductScoreModel
+
+    c = ScoreModelConfig()  # cross_cap=48, cross_cap_frac=0.2
+    assert c.effective_cross_cap(64) == 48  # floor dominates small buckets
+    assert c.effective_cross_cap(512) == 102
+    assert c.effective_cross_cap(3072) == 614
+    assert dataclasses.replace(c, cross_cap_frac=0.0).effective_cross_cap(3072) == 48
+    assert dataclasses.replace(c, cross_cap_frac=1.0).effective_cross_cap(3072) == 3072
+
+    batch = make_random_batch(B=1, N=64)
+    cfg_frac = dataclasses.replace(SMALL_CFG, cross_cap=8, cross_cap_frac=0.25)  # -> 16
+    cfg_pin = dataclasses.replace(SMALL_CFG, cross_cap=16, cross_cap_frac=0.0)
+    mf, mp = TensorProductScoreModel(cfg_frac), TensorProductScoreModel(cfg_pin)
+    v = mf.init(jax.random.PRNGKey(0), batch)
+    of, op = mf.apply(v, batch), mp.apply(v, batch)
+    np.testing.assert_allclose(np.asarray(of.tr_pred), np.asarray(op.tr_pred), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(of.tor_pred), np.asarray(op.tor_pred), atol=1e-6)
 
 
 def test_make_schedules_different_and_actual_steps():

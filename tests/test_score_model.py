@@ -1,5 +1,6 @@
 """Score model: shape, equivariance, masking-invariance tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -124,6 +125,7 @@ def test_se3_equivariance():
     np.testing.assert_allclose(np.asarray(out_r.tor_pred), np.asarray(out.tor_pred), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_padding_invariance():
     """Extra padded slots must not change predictions."""
     b_small = make_random_batch(B=1, L=12, N=24, seed=3)

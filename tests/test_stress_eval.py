@@ -10,6 +10,7 @@ several of them with the confidence rerank, the metric dict and .npy
 artifacts are complete, and the cap-overflow telemetry reads zero.
 """
 
+import pytest
 import json
 import os
 import sys
@@ -22,6 +23,7 @@ from confidence_bootstrapping_tpu.config import ScoreModelConfig, save_yaml
 from confidence_bootstrapping_tpu.train import checkpoints
 
 
+@pytest.mark.slow
 def test_stress_harness_small(tmp_path):
     from stress_eval import write_complex
 

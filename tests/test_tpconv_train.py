@@ -125,6 +125,7 @@ def test_train_op_chunked_backward_matches_single_chunk():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_score_model_train_grads_fused_vs_xla(monkeypatch):
     """Full score-model loss gradients: fused training kernels (interpret
     mode, f32) vs the XLA path — the model-level pin that the custom_vjp

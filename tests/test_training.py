@@ -1,5 +1,6 @@
 """Training step + data-parallel mesh tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,7 @@ def test_apply_noise_targets():
     assert np.abs(np.asarray(noised.lig_pos) - np.asarray(batch.lig_pos)).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_finite():
     batch = make_random_batch(B=4)
     model = TensorProductScoreModel(SMALL_CFG)
@@ -51,6 +53,7 @@ def test_train_step_updates_and_finite():
     assert np.abs(np.asarray(e1) - np.asarray(p1)).max() > 0
 
 
+@pytest.mark.slow
 def test_train_step_data_parallel_8_devices():
     """The same jitted step with the batch sharded over an 8-device mesh."""
     assert len(jax.devices()) == 8, "conftest should force 8 virtual cpu devices"
