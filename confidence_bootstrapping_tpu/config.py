@@ -124,10 +124,15 @@ class ScoreModelConfig:
 
     def effective_cross_cap(self, n_rec: int) -> int:
         """Bucket-scaled cross-edge capacity for an N-residue receptor view:
-        min(N, max(cross_cap, round(N * cross_cap_frac))). See cross_cap_frac
-        above; docs/artifacts/crosscap_ab_tpu.json is the measurement."""
+        min(N, max(cross_cap, ceil32(N * cross_cap_frac))). The scaled cap
+        rounds UP to a multiple of 32 — extra slots only keep MORE true
+        in-radius neighbors (strictly closer to the reference's uncapped
+        aggregation) and lane-aligned K is what the fused Mosaic cross
+        kernel requires. See cross_cap_frac above;
+        docs/artifacts/crosscap_ab_tpu.json is the measurement."""
         if self.cross_cap_frac and self.cross_cap_frac > 0:
-            return min(n_rec, max(self.cross_cap, int(round(n_rec * self.cross_cap_frac))))
+            scaled = -(-int(n_rec * self.cross_cap_frac) // 32) * 32
+            return min(n_rec, max(self.cross_cap, scaled))
         return min(n_rec, self.cross_cap)
 
 

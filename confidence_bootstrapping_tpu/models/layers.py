@@ -590,6 +590,11 @@ class TPConv(nn.Module):
             and self._fused_mode(deterministic) == "ladder1"
             and sh_lmax == 1
             and self.n_edge_features == edge_emb.shape[-1] + 2 * ns
+            # Mosaic's shape-cast of the [T_l, K, F] edge block requires a
+            # lane-aligned K (measured: K=48 fine, K=205 "unsupported shape
+            # cast"); misaligned caps (user-pinned --cross_cap) take the XLA
+            # path. effective_cross_cap rounds scaled caps to 32.
+            and idx.shape[-1] % 16 == 0
         ):
             return None
         pf = self.edge_mlps[group_fwd].variables["params"]

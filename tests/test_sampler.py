@@ -152,14 +152,14 @@ def test_cross_cap_frac_policy():
 
     c = ScoreModelConfig()  # cross_cap=48, cross_cap_frac=0.2
     assert c.effective_cross_cap(64) == 48  # floor dominates small buckets
-    assert c.effective_cross_cap(512) == 102
-    assert c.effective_cross_cap(3072) == 614
+    assert c.effective_cross_cap(512) == 128  # ceil32(102)
+    assert c.effective_cross_cap(3072) == 640  # ceil32(614)
     assert dataclasses.replace(c, cross_cap_frac=0.0).effective_cross_cap(3072) == 48
     assert dataclasses.replace(c, cross_cap_frac=1.0).effective_cross_cap(3072) == 3072
 
     batch = make_random_batch(B=1, N=64)
-    cfg_frac = dataclasses.replace(SMALL_CFG, cross_cap=8, cross_cap_frac=0.25)  # -> 16
-    cfg_pin = dataclasses.replace(SMALL_CFG, cross_cap=16, cross_cap_frac=0.0)
+    cfg_frac = dataclasses.replace(SMALL_CFG, cross_cap=8, cross_cap_frac=0.25)  # -> 32
+    cfg_pin = dataclasses.replace(SMALL_CFG, cross_cap=32, cross_cap_frac=0.0)
     mf, mp = TensorProductScoreModel(cfg_frac), TensorProductScoreModel(cfg_pin)
     v = mf.init(jax.random.PRNGKey(0), batch)
     of, op = mf.apply(v, batch), mp.apply(v, batch)
