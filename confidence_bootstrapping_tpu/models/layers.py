@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +37,27 @@ class FCBlock(nn.Module):
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = nn.Dense(self.out_dim if i == self.depth - 2 else self.hidden_dim)(h)
         return h
+
+
+def _chunk_cross_k(call, idx, edge_emb, idx_mask, kmax=128):
+    """Apply a fused cross-conv kernel in K-chunks of <= kmax neighbors.
+
+    The fused cross kernels hold the whole [T_l, K, F] edge block on the
+    Mosaic VMEM stack; bucket-scaled caps (config.effective_cross_cap) blow
+    the scoped limit beyond K~200 (measured: K=224 needs 83 MB of the 64 MB
+    stack in conv_cross_rev, K=128 fits). Every output is a masked SUM over
+    K (finalize divides by counts outside the kernel), so slicing the
+    neighbor list into <=kmax-wide chunks and adding results is exact. The
+    effective caps are multiples of 32, so every chunk keeps the >=16-lane
+    alignment the kernels require."""
+    K = idx.shape[-1]
+    if K <= kmax:
+        return call(idx, edge_emb, idx_mask)
+    out = None
+    for s in range(0, K, kmax):
+        o = call(idx[..., s:s + kmax], edge_emb[..., s:s + kmax, :], idx_mask[..., s:s + kmax])
+        out = o if out is None else jax.tree.map(lambda a, b: a + b, out, o)
+    return out
 
 
 class AtomEncoder(nn.Module):
@@ -513,10 +535,13 @@ class TPConv(nn.Module):
             from ..ops.pallas import tpconv_g as _tpg
 
             p = self.edge_mlps[group].variables["params"]
-            out = _tpg.fused_tpconv_cross_g(
-                recv_attr, recv_pos, src_attr, src_pos, idx, edge_emb, idx_mask,
-                p["Dense_0"]["kernel"], p["Dense_0"]["bias"], p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
-                self.in_irreps, self.sh_irreps, self.out_irreps, ns,
+            out = _chunk_cross_k(
+                lambda i, e, mm: _tpg.fused_tpconv_cross_g(
+                    recv_attr, recv_pos, src_attr, src_pos, i, e, mm,
+                    p["Dense_0"]["kernel"], p["Dense_0"]["bias"], p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+                    self.in_irreps, self.sh_irreps, self.out_irreps, ns,
+                ),
+                idx, edge_emb, idx_mask,
             )
             return out, counts
         if not use_fused:
@@ -538,9 +563,12 @@ class TPConv(nn.Module):
         p = self.edge_mlps[group].variables["params"]
         w1, b1 = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
         w2, b2 = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
-        out = _tpconv_rec.fused_tpconv_cross(
-            recv_attr, recv_pos, src_attr, src_pos, idx, edge_emb, idx_mask,
-            w1, b1, w2, b2, self.in_irreps, self.out_irreps, ns,
+        out = _chunk_cross_k(
+            lambda i, e, mm: _tpconv_rec.fused_tpconv_cross(
+                recv_attr, recv_pos, src_attr, src_pos, i, e, mm,
+                w1, b1, w2, b2, self.in_irreps, self.out_irreps, ns,
+            ),
+            idx, edge_emb, idx_mask,
         )
         return out, counts
 
@@ -603,10 +631,14 @@ class TPConv(nn.Module):
             rw = (pr["Dense_0"]["kernel"], pr["Dense_0"]["bias"], pr["Dense_1"]["kernel"], pr["Dense_1"]["bias"])
         else:
             rw = (None, None, None, None)
-        lig_sum, rec_sum = _tpl.fused_tpconv_cross_rev(
-            recv_attr, recv_pos, src_attr, src_pos, idx, edge_emb, idx_mask,
-            pf["Dense_0"]["kernel"], pf["Dense_0"]["bias"], pf["Dense_1"]["kernel"], pf["Dense_1"]["bias"],
-            *rw, self.in_irreps, self.out_irreps, ns,
+
+        lig_sum, rec_sum = _chunk_cross_k(
+            lambda i, e, mm: _tpl.fused_tpconv_cross_rev(
+                recv_attr, recv_pos, src_attr, src_pos, i, e, mm,
+                pf["Dense_0"]["kernel"], pf["Dense_0"]["bias"], pf["Dense_1"]["kernel"], pf["Dense_1"]["bias"],
+                *rw, self.in_irreps, self.out_irreps, ns,
+            ),
+            idx, edge_emb, idx_mask,
         )
         lig_counts = jnp.sum(idx_mask, axis=-1).astype(jnp.float32)
         rec_counts = None
