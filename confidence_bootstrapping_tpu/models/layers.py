@@ -632,13 +632,18 @@ class TPConv(nn.Module):
         else:
             rw = (None, None, None, None)
 
+        # the REV direction accumulates a [N, out] scatter in VMEM, so the
+        # kernel's stack grows with N as well as K — shrink the K chunk on
+        # big receptor buckets (measured: N=2048 @ K=128 needs 51.5M of a
+        # 48M scoped limit; K=64 fits)
+        kmax = 128 if src_attr.shape[1] <= 1024 else 64
         lig_sum, rec_sum = _chunk_cross_k(
             lambda i, e, mm: _tpl.fused_tpconv_cross_rev(
                 recv_attr, recv_pos, src_attr, src_pos, i, e, mm,
                 pf["Dense_0"]["kernel"], pf["Dense_0"]["bias"], pf["Dense_1"]["kernel"], pf["Dense_1"]["bias"],
                 *rw, self.in_irreps, self.out_irreps, ns,
             ),
-            idx, edge_emb, idx_mask,
+            idx, edge_emb, idx_mask, kmax=kmax,
         )
         lig_counts = jnp.sum(idx_mask, axis=-1).astype(jnp.float32)
         rec_counts = None
