@@ -45,13 +45,14 @@ def _load_1a0q(all_atoms: bool, B: int, lm_dim: int):
     hc = featurize.build_host_complex("1a0q", mol, st, all_atoms=all_atoms)
     bucket = pick_bucket(len(hc.lig_f), len(hc.lig_edge_src), len(hc.tor_src),
                          len(hc.rec_f), len(hc.atom_f) if all_atoms else 0, all_atoms=all_atoms)
-    padded = pad_complex(hc, bucket, lm_dim=lm_dim)
     if lm_dim:
-        # random ESM-sized embeddings: the arch must carry [B, N, 1280]
+        # random ESM-sized embeddings: the arch must carry [B, N, lm_dim]
+        # (set on the HostComplex BEFORE padding, like esm_scale_check.py)
         import numpy as np
 
-        rec_lm = np.random.RandomState(0).randn(*padded.rec_lm.shape).astype(np.float32)
-        padded = padded._replace(rec_lm=rec_lm)
+        hc = hc._replace(rec_lm=np.random.RandomState(0).randn(
+            len(hc.rec_f), lm_dim).astype(np.float32))
+    padded = pad_complex(hc, bucket, lm_dim=lm_dim)
     return replicate_complex(padded, B)
 
 
